@@ -1,0 +1,16 @@
+"""nbodyhpc_tpu — TPU-native N-body post-processing framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of wendazhou/nbodyhpc:
+
+- :mod:`nbodyhpc_tpu.kdtree` — periodic 3D k-NN engine (cell-list + batched
+  expanding-cube queries) with the reference's ``KDTree``/``query`` API.
+- :mod:`nbodyhpc_tpu.rasterizer` — mass-conserving anti-aliased sphere-splat
+  rasterization of point clouds into 2D/3D density fields with periodic wrap,
+  with the reference's ``render_points``/``render_points_volume`` API.
+- :mod:`nbodyhpc_tpu.parallel` — mesh/shard_map layer: slab-sharded grids,
+  halo exchange over ICI, sharded query fan-out.
+"""
+
+__version__ = "0.1.0"
+
+from . import core, ops, utils  # noqa: F401

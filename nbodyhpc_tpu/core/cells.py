@@ -1,0 +1,159 @@
+"""Cell-list build: the TPU-native replacement for the reference kd-tree build.
+
+The reference builds a pointer-based kd-tree with a recursive median-split and
+AVX2 Floyd-Rivest selection (reference: kdtree/src/cpp/include/kdtree/
+kdtree_impl.hpp:78-174, kdtree/src/cpp/kdtree_selection.cpp:322-494). Pointer
+chasing and data-dependent recursion do not map to XLA, so the TPU design uses a
+uniform cell grid instead: points are bucketed into cells, sorted by cell id,
+and a per-cell offset table (prefix sums of counts) gives contiguous candidate
+ranges. Build is a single sort — O(N log N) like the reference's build, but it
+runs as one fused XLA/numpy pass with no recursion.
+
+Build runs eagerly on the host (numpy): like the reference's construction it is
+a one-time cost, and running it eagerly lets the measured grid shape and
+occupancy statistics specialize the jitted query program (static shapes).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+from .points import PAD_SENTINEL, PaddedSoA, round_up, validate_points
+
+#: Default target mean points per cell. 27 * occupancy candidates are scanned in
+#: the first query pass, so this is sized such that one ring suffices for
+#: typical k <= 16 (the reference analogously tunes leaf_size=128 so that one
+#: leaf scan covers the queue, kdtree/src/python/nbodyhpc/kdtree/__init__.py:24-28).
+DEFAULT_OCCUPANCY = 8.0
+
+MAX_CELLS_PER_DIM = 1024
+
+
+@dataclasses.dataclass
+class CellList:
+    """Sorted-by-cell point storage plus the per-cell offset table.
+
+    Attributes
+    ----------
+    xyz : (3, Npad) float32 numpy array
+        Points sorted by raveled cell id; padding columns hold ``PAD_SENTINEL``.
+    index : (Npad,) uint32
+        Original point index for each sorted slot; padding slots hold ``n``.
+    offsets : (ncells + 1,) int32
+        ``offsets[c]:offsets[c+1]`` is the sorted range of points in cell ``c``
+        (row-major ravel of the 3D cell coordinate).
+    dims : (3,) int — cells per dimension.
+    lo : (3,) float32 — lower corner of the binning box.
+    cell_size : (3,) float32 — cell edge length per dimension.
+    inv_cell_size : (3,) float32
+    n : int — number of real points.
+    periodic : bool
+    boxsize : (3,) float32 or None — periodic box lengths.
+    max_cell_count : int — occupancy of the fullest cell (sizes query budgets).
+    """
+
+    xyz: np.ndarray
+    index: np.ndarray
+    offsets: np.ndarray
+    dims: np.ndarray
+    lo: np.ndarray
+    cell_size: np.ndarray
+    inv_cell_size: np.ndarray
+    n: int
+    periodic: bool
+    boxsize: np.ndarray | None
+    max_cell_count: int
+
+    @property
+    def ncells(self) -> int:
+        return int(np.prod(self.dims))
+
+
+def choose_dims(n: int, extent: np.ndarray, occupancy: float) -> np.ndarray:
+    """Pick cells-per-dim so mean occupancy ~= `occupancy`, proportional to extent."""
+    n = max(n, 1)
+    target_cells = max(n / max(occupancy, 1.0), 1.0)
+    extent = np.maximum(np.asarray(extent, dtype=np.float64), 1e-30)
+    # cells per dim proportional to extent, product ~= target_cells
+    geo = float(np.prod(extent)) ** (1.0 / 3.0)
+    per_unit = target_cells ** (1.0 / 3.0) / geo
+    dims = np.maximum(1, np.floor(extent * per_unit + 0.5).astype(np.int64))
+    return np.minimum(dims, MAX_CELLS_PER_DIM).astype(np.int32)
+
+
+def cell_coords(points: np.ndarray, lo, inv_h, dims, periodic: bool) -> np.ndarray:
+    """(N, 3) integer cell coordinates for points; wraps (periodic) or clips."""
+    ic = np.floor((points - lo[None, :]) * inv_h[None, :]).astype(np.int64)
+    if periodic:
+        ic = np.mod(ic, dims[None, :])
+    else:
+        ic = np.clip(ic, 0, dims[None, :] - 1)
+    return ic
+
+
+def build_cell_list(
+    points: np.ndarray,
+    boxsize=None,
+    occupancy: float = DEFAULT_OCCUPANCY,
+    pad_multiple: int = 128,
+) -> CellList:
+    """Build the cell list (eager host pass). See module docstring."""
+    points = validate_points(points, boxsize)
+    n = points.shape[0]
+    periodic = boxsize is not None
+
+    if periodic:
+        box = np.broadcast_to(np.asarray(boxsize, dtype=np.float32), (3,)).astype(
+            np.float32
+        )
+        lo = np.zeros(3, dtype=np.float32)
+        extent = box.astype(np.float64)
+    else:
+        box = None
+        if n > 0:
+            pmin = points.min(axis=0).astype(np.float64)
+            pmax = points.max(axis=0).astype(np.float64)
+        else:
+            pmin = np.zeros(3)
+            pmax = np.ones(3)
+        span = np.maximum(pmax - pmin, 1e-12)
+        # small margin so max-coordinate points land strictly inside the last cell
+        lo = (pmin - 1e-6 * span).astype(np.float32)
+        extent = span * (1.0 + 2e-6)
+
+    dims = choose_dims(n, extent, occupancy)
+    h = (extent / dims).astype(np.float32)
+    inv_h = (1.0 / h).astype(np.float32)
+
+    ic = cell_coords(points, lo, inv_h, dims, periodic) if n else np.zeros((0, 3), np.int64)
+    raveled = (ic[:, 0] * dims[1] + ic[:, 1]) * dims[2] + ic[:, 2]
+
+    order = np.argsort(raveled, kind="stable")
+    sorted_ids = raveled[order]
+
+    ncells = int(np.prod(dims))
+    offsets = np.searchsorted(sorted_ids, np.arange(ncells + 1)).astype(np.int32)
+    counts = np.diff(offsets)
+    max_cell_count = int(counts.max()) if ncells and n else 0
+
+    npad = max(round_up(max(n, 1), pad_multiple), pad_multiple)
+    xyz = np.full((3, npad), PAD_SENTINEL, dtype=np.float32)
+    xyz[:, :n] = points[order].T
+    index = np.full(npad, n, dtype=np.uint32)
+    index[:n] = order.astype(np.uint32)
+
+    return CellList(
+        xyz=xyz,
+        index=index,
+        offsets=offsets,
+        dims=dims,
+        lo=lo,
+        cell_size=h,
+        inv_cell_size=inv_h,
+        n=n,
+        periodic=periodic,
+        boxsize=box,
+        max_cell_count=max_cell_count,
+    )

@@ -1,0 +1,198 @@
+"""KDTree parity tests.
+
+Reproduces the reference's Python integration test strategy (reference:
+kdtree/tests/test_kdtree.py:1-35 — exact index equality and allclose distances
+vs scipy.spatial.KDTree, plain and periodic) plus the C++ suites' brute-force
+oracle checks (kdtree/src/cpp/tests/test.cpp:14-37,89-111)."""
+import numpy as np
+import pytest
+import scipy.spatial
+
+from nbodyhpc_tpu.kdtree import KDTree
+
+
+def _random_points(n, seed, box=1.0):
+    rng = np.random.Generator(np.random.Philox(seed))
+    return (rng.random(size=(n, 3)) * box).astype(np.float32)
+
+
+def test_kdtree_matches_scipy():
+    # reference: kdtree/tests/test_kdtree.py:6-19
+    points = _random_points(10000, 42)
+    queries = _random_points(200, 43)
+
+    tree = KDTree(points)
+    dist, idx = tree.query(queries, k=4)
+
+    ref = scipy.spatial.KDTree(points)
+    rdist, ridx = ref.query(queries, k=4)
+
+    np.testing.assert_array_equal(idx, ridx.astype(np.uint32))
+    np.testing.assert_allclose(dist, rdist, rtol=1e-5, atol=1e-6)
+
+
+def test_kdtree_matches_scipy_periodic():
+    # reference: kdtree/tests/test_kdtree.py:21-35
+    boxsize = 2.0
+    points = _random_points(10000, 7, box=boxsize)
+    queries = _random_points(200, 8, box=boxsize)
+
+    tree = KDTree(points, boxsize=boxsize)
+    dist, idx = tree.query(queries, k=4)
+
+    ref = scipy.spatial.KDTree(points, boxsize=boxsize)
+    rdist, ridx = ref.query(queries, k=4)
+
+    np.testing.assert_array_equal(idx, ridx.astype(np.uint32))
+    np.testing.assert_allclose(dist, rdist, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("n", [10, 100, 1000])
+@pytest.mark.parametrize("periodic", [False, True])
+def test_small_trees_vs_bruteforce(n, periodic):
+    # reference: kdtree/src/cpp/tests/test.cpp:113-114 parametrizes N in {10,100,1000}
+    box = 1.0
+    points = _random_points(n, 100 + n, box=box)
+    queries = _random_points(100, 200 + n, box=box)
+    k = min(8, n)
+
+    tree = KDTree(points, boxsize=box if periodic else None)
+    dist, idx = tree.query(queries, k=k)
+
+    if periodic:
+        ref = scipy.spatial.KDTree(points, boxsize=box)
+    else:
+        ref = scipy.spatial.KDTree(points)
+    rdist, ridx = ref.query(queries, k=k)
+    if k == 1:
+        rdist, ridx = rdist[:, None], ridx[:, None]
+
+    np.testing.assert_array_equal(idx, ridx.astype(np.uint32))
+    np.testing.assert_allclose(dist, rdist, rtol=1e-5, atol=1e-6)
+
+
+def test_self_query_returns_zero_distance():
+    # the CLI benchmark self-query invariant, reference kdtree/src/cpp/main.cpp:74-88
+    points = _random_points(2000, 3)
+    tree = KDTree(points)
+    dist, idx = tree.query(points[:100], k=1)
+    np.testing.assert_array_equal(idx[:, 0], np.arange(100, dtype=np.uint32))
+    np.testing.assert_allclose(dist[:, 0], 0.0, atol=1e-6)
+
+
+def test_query_reshape_semantics():
+    # reference wrapper reshapes (..., 3) queries, kdtree/__init__.py:44-55
+    points = _random_points(500, 11)
+    queries = _random_points(24, 12).reshape(2, 3, 4, 3)
+    tree = KDTree(points)
+    dist, idx = tree.query(queries, k=2)
+    assert dist.shape == (2, 3, 4, 2)
+    assert idx.shape == (2, 3, 4, 2)
+    d2, i2 = tree.query(queries.reshape(-1, 3), k=2)
+    np.testing.assert_array_equal(idx.reshape(-1, 2), i2)
+
+
+def test_unknown_kwargs_warn():
+    # reference kdtree/__init__.py:37-38,41-42
+    points = _random_points(100, 1)
+    with pytest.warns(UserWarning):
+        tree = KDTree(points, bogus_arg=1)
+    with pytest.warns(UserWarning):
+        tree.query(points[:4], k=1, bogus=2)
+
+
+def test_invalid_inputs():
+    points = _random_points(100, 1)
+    tree = KDTree(points)
+    with pytest.raises(ValueError):
+        tree.query(points[:4], k=0)  # reference pybind.cpp:92-94
+    with pytest.raises(ValueError):
+        KDTree(np.zeros((4, 2)))
+    with pytest.raises(ValueError):
+        # out-of-box points with periodic boxsize, reference pybind.cpp:42-46
+        KDTree(points * 10.0, boxsize=1.0)
+
+
+def test_k_larger_than_n():
+    points = _random_points(5, 21)
+    tree = KDTree(points)
+    dist, idx = tree.query(points[:3], k=8)
+    assert np.all(np.isfinite(dist[:, :5]))
+    assert np.all(np.isinf(dist[:, 5:]))
+    assert np.all(idx[:, 5:] == 5)
+
+
+def test_properties():
+    points = _random_points(300, 33, box=2.0)
+    tree = KDTree(points, boxsize=2.0)
+    assert tree.n == 300
+    assert tree.size == 300
+    assert tree.periodic
+    assert tree.boxsize == 2.0
+    tree2 = KDTree(points)
+    assert not tree2.periodic
+    assert tree2.boxsize is None
+
+
+def test_query_statistics():
+    points = _random_points(5000, 55)
+    tree = KDTree(points)
+    dist, idx, stats = tree.query_with_statistics(points[:50], k=4)
+    assert stats.cells_scanned.shape == (50,)
+    assert np.all(stats.points_visited >= 4)
+    # visiting a small fraction of all points is the entire point of the index
+    assert np.mean(stats.points_visited) < 0.5 * tree.n
+
+
+def test_ball_count_matches_scipy():
+    points = _random_points(2000, 77)
+    queries = _random_points(64, 78)
+    tree = KDTree(points)
+    counts = tree.query_radius_count(queries, 0.1)
+    ref = scipy.spatial.KDTree(points)
+    expected = np.array([len(x) for x in ref.query_ball_point(queries, 0.1)])
+    np.testing.assert_array_equal(counts, expected)
+
+
+def test_ball_count_periodic():
+    box = 1.0
+    points = _random_points(1500, 79, box=box)
+    queries = _random_points(32, 80, box=box)
+    tree = KDTree(points, boxsize=box)
+    counts = tree.query_radius_count(queries, 0.15)
+    ref = scipy.spatial.KDTree(points, boxsize=box)
+    expected = np.array([len(x) for x in ref.query_ball_point(queries, 0.15)])
+    np.testing.assert_array_equal(counts, expected)
+
+
+def test_far_outside_queries_hit_fallback():
+    """Queries far outside the data extent must stay exact (regression: the
+    streaming fallback used to truncate the tail when the padded point count
+    was not divisible by the scan block)."""
+    rng = np.random.Generator(np.random.Philox(1234))
+    pts = (rng.random((50000, 3)) * 3.0).astype(np.float32)  # npad=50048, 128-only divisor
+    far = (rng.random((8, 3)) * 3.0 + 100.0).astype(np.float32)
+    tree = KDTree(pts)
+    d, i = tree.query(far, k=3)
+    from nbodyhpc_tpu.ops.knn import brute_force_knn
+
+    bd, bi = brute_force_knn(pts, far, 3)
+    np.testing.assert_array_equal(i, np.asarray(bi).astype(np.uint32))
+    np.testing.assert_allclose(d, np.asarray(bd), rtol=1e-6)
+
+
+def test_clustered_points_escalation():
+    """Heavily clustered data must stay exact (escalation ladder / fallback)."""
+    rng = np.random.Generator(np.random.Philox(5))
+    cluster = rng.normal(scale=0.001, size=(3000, 3)).astype(np.float32) + 0.5
+    sparse = rng.random(size=(50, 3)).astype(np.float32)
+    points = np.concatenate([cluster, sparse]).astype(np.float32)
+    points = np.clip(points, 0.0, 0.999999)
+    queries = rng.random(size=(100, 3)).astype(np.float32)
+
+    tree = KDTree(points)
+    dist, idx = tree.query(queries, k=6)
+    ref = scipy.spatial.KDTree(points)
+    rdist, ridx = ref.query(queries, k=6)
+    np.testing.assert_allclose(dist, rdist, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(idx, ridx.astype(np.uint32))
