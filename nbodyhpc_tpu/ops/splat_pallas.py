@@ -1,0 +1,441 @@
+"""Production Pallas splat engine: tiled scatter-add deposition on TPU.
+
+The reference gets scatter-add for free from Vulkan's additive blending
+(reference: rasterization/src/cpp/point_renderer.cpp:306-313); its per-slice
+draw loop streams z-culled vertex ranges through up to 8 hardware queues
+(point_renderer.cpp:864-946). TPUs have no scatter hardware, so this module
+re-derives deposition as a sort-then-accumulate pipeline:
+
+1. **Pair expansion (XLA)** — every particle is assigned to each grid *tile*
+   its F=8-voxel footprint window touches (<= 8 tiles; ~2x on average). This
+   replaces the reference's ghost/cull logic with static-shape masks.
+2. **Tile sort (XLA)** — pairs are sorted by tile id (one ~N log N u32 sort,
+   the analog of the reference's z-sort, vertex_utilities.cpp:7-11), then laid
+   out in 128-particle chunks aligned so each tile owns whole chunks.
+3. **Pallas deposit kernel** — a 1D grid over chunks. Per chunk: 8 groups of
+   16 particles are evaluated *lane-packed* (lanes = 16 particles x 8 z-window
+   slots, rows = 8x x 8y footprint offsets), reproducing the fragment shader's
+   subsample-cube overlap math (triangle.frag:25-45) and the vertex shader's
+   point-size/sub-pixel rules (triangle.vert:41-63) in dense [64, 128] VPU
+   tensors. Each particle's z-profile is rotated into place (dynamic lane roll)
+   and accumulated into a VMEM tile accumulator with halo rows; when the chunk
+   stream crosses a tile boundary the accumulator center is DMA'd to the
+   HBM-resident output (optionally read-modify-write for multi-batch
+   accumulation — the analog of the reference's multi-queue in-flight
+   submission is Pallas's automatic double-buffered block pipeline).
+
+Tile geometry: (TX, TY, TZ) = (128, 8, 128) voxels. Accumulator rows encode
+(x_slot, y) with an 8-voxel x halo on each side so footprint windows never
+need clipping; lanes encode z. Output is written tile-major and relaid out to
+the (gx, gy, gz) logical grid by one XLA transpose.
+
+Radius support: pixel radii <= RMAX_PX = 3.0 (footprint 8^3) plus sub-pixel
+particles. Larger radii are deposited by the oracle path (splat.py) — the
+caller splits the population (see ``splat_volume``).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .splat import FOUR_THIRDS_PI
+
+# --- static geometry ---
+TX, TY, TZ = 128, 8, 128  # tile shape in voxels
+F = 8                     # footprint window per dim
+HALO = 8                  # x halo (voxels) on each side of the tile
+XSLOTS = TX + 2 * HALO    # 144
+ROWS = XSLOTS * TY        # 1152 accumulator rows; center rows [64, 64+1024)
+CROWS = TX * TY           # 1024 center rows per tile
+CHUNK = 128               # particles per grid step
+GROUPS = CHUNK // 16
+RMAX_PX = 3.0             # max pixel radius handled by the F=8 window
+NATTR = 8
+
+
+def _deposit_kernel(tilewin_ref, row0_ref, bz_ref, attrs_ref, _outin_ref,
+                    out_ref, acc_ref, sem_ref, *, subsample: int,
+                    accumulate: bool):
+    prev = tilewin_ref[0, 0, 0]
+    cur = tilewin_ref[0, 0, 1]
+    nxt = tilewin_ref[0, 0, 2]
+
+    @pl.when(prev != cur)
+    def _init():
+        acc_ref[:] = jnp.zeros((ROWS, TZ), jnp.float32)
+        if accumulate:
+            dma = pltpu.make_async_copy(
+                out_ref.at[pl.ds(cur * CROWS, CROWS), :],
+                acc_ref.at[pl.ds(HALO * TY, CROWS), :],
+                sem_ref,
+            )
+            dma.start()
+            dma.wait()
+
+    # lane-group index for the exact select-based expansion (an MXU one-hot
+    # matmul would truncate attribute mantissas to bf16 and corrupt floor()
+    # comparisons near integers)
+    lane_grp = jax.lax.broadcasted_iota(jnp.int32, (NATTR, 128), 1) // 8
+    lane = jax.lax.broadcasted_iota(jnp.int32, (64, TZ), 1)
+    irow = jax.lax.broadcasted_iota(jnp.int32, (64, TZ), 0) // TY  # i in [0,8)
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (64, TZ), 0) % TY   # y in [0,8)
+    zrel = (lane % 8).astype(jnp.float32)
+    i_f = irow.astype(jnp.float32)
+    j_f = jrow.astype(jnp.float32)
+    S = subsample
+    u = [(a + 0.5) / S for a in range(S)]
+    inv_s3 = 1.0 / float(S**3)
+
+    for g in range(GROUPS):
+        # expand to [NATTR, 128]: attr value of particle p on lanes [8p, 8p+8)
+        aexp = jnp.zeros((NATTR, 128), jnp.float32)
+        for p in range(16):
+            col = attrs_ref[0, :, g * 16 + p][:, None]  # [NATTR, 1]
+            aexp = jnp.where(lane_grp == p, col, aexp)
+        ox = aexp[0:1, :]       # Px - bx, in [3.5, 4.5)
+        oy = aexp[1:2, :]       # Py - tile_y0, in [-7, 15)
+        oz = aexp[2:3, :]       # Pz - bz, in [3.5, 4.5)
+        rpx = aexp[3:4, :]
+        w_norm = aexp[4:5, :]
+        w_raw = aexp[5:6, :]
+        is_sub = aexp[6:7, :] > 0.5
+
+        # corner deltas on the packed layout
+        dx = ox - i_f           # [64, TZ] via broadcast
+        dy = oy - j_f
+        dz = oz - zrel
+        r2 = rpx * rpx
+
+        # ---- big-particle path (triangle.vert:41-45 + triangle.frag:25-45) --
+        zoff = dz - 0.5
+        zclip = jnp.abs(zoff) <= rpx + 1.0
+        plane_r = jnp.sqrt(jnp.maximum(r2 - zoff * zoff, 0.0))
+        half = jnp.ceil(plane_r) + 1.0
+        cx = 0.5 - dx           # pixel-center offset: (b+i)+0.5 - Px = -(dx)+.5
+        cy = 0.5 - dy
+        cover = (
+            (cx >= -half) & (cx < half) & (cy >= -half) & (cy < half) & zclip
+        )
+
+        # subcell sum in the oracle's association order: (ax + ay) + az < r^2
+        count = jnp.zeros((64, TZ), jnp.float32)
+        for a in range(S):
+            dxa = dx - u[a]
+            dxa2 = dxa * dxa
+            for b in range(S):
+                dyb = dy - u[b]
+                sab = dxa2 + dyb * dyb
+                for c in range(S):
+                    dzc = dz - u[c]
+                    count = count + jnp.where(sab + dzc * dzc < r2, 1.0, 0.0)
+        big_val = w_norm * (count * inv_s3) * cover
+
+        # ---- sub-pixel path (triangle.vert:47-60) ----
+        sub_val = jnp.where(
+            (i_f == jnp.floor(ox))
+            & (j_f == jnp.floor(oy))
+            & (zrel == jnp.ceil(oz) - 1.0),
+            w_raw,
+            0.0,
+        )
+        pc = jnp.where(is_sub, sub_val, big_val)  # [64, TZ] packed contributions
+
+        # ---- per-particle deposit: roll z-window into place, single RMW ----
+        for p in range(16):
+            i = g * 16 + p
+            row0 = row0_ref[0, 0, i]
+            bz = bz_ref[0, 0, i]
+            shift = jax.lax.rem(bz - 8 * p + 256, 128)
+            rolled = pltpu.roll(pc, shift, axis=1)
+            inwin = (lane - bz).astype(jnp.uint32) < 8  # [bz, bz+8) ∩ [0,128)
+            contrib = jnp.where(inwin, rolled, 0.0)
+            acc_ref[pl.ds(row0, 64), :] = acc_ref[pl.ds(row0, 64), :] + contrib
+
+    @pl.when(nxt != cur)
+    def _flush():
+        dma = pltpu.make_async_copy(
+            acc_ref.at[pl.ds(HALO * TY, CROWS), :],
+            out_ref.at[pl.ds(cur * CROWS, CROWS), :],
+            sem_ref,
+        )
+        dma.start()
+        dma.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nchunks", "ntiles", "subsample", "accumulate", "interpret"),
+)
+def _run_deposit(tilewin, row0, bz, attrs, out_init, nchunks, ntiles,
+                 subsample, accumulate, interpret):
+    kernel = functools.partial(
+        _deposit_kernel, subsample=subsample, accumulate=accumulate
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 4), lambda c: (c, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, CHUNK), lambda c: (c, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, CHUNK), lambda c: (c, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, NATTR, CHUNK), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((ntiles * CROWS, TZ), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((ROWS, TZ), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(tilewin, row0, bz, attrs, out_init)
+
+
+# ---------------------------------------------------------------------------
+# XLA preprocessing: pair expansion, tile sort, chunk-aligned layout
+# ---------------------------------------------------------------------------
+
+
+def _grid_pad(g):
+    gx, gy, gz = g
+    return (
+        (gx + TX - 1) // TX * TX,
+        (gy + TY - 1) // TY * TY,
+        (gz + TZ - 1) // TZ * TZ,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("grid",))
+def _count_pairs(ppx, rpx, w, grid):
+    """Cheap count of valid (particle, tile) pairs to size the padded layout."""
+    keys, _ = _pair_keys(ppx, rpx, w, grid)
+    ntiles = _ntiles(grid)
+    return jnp.sum(keys < ntiles)
+
+
+def _ntiles(grid):
+    gxp, gyp, gzp = _grid_pad(grid)
+    return (gxp // TX) * (gyp // TY) * (gzp // TZ)
+
+
+def _pair_keys(ppx, rpx, w, grid):
+    """[N, 8] tile keys (ntiles = invalid) for the <=8 tiles each footprint
+    window touches, plus the window base b = ceil(ppx - 4.5)."""
+    gxp, gyp, gzp = _grid_pad(grid)
+    ntx, nty, ntz = gxp // TX, gyp // TY, gzp // TZ
+    ntiles = ntx * nty * ntz
+
+    b = jnp.ceil(ppx - (F / 2 + 0.5)).astype(jnp.int32)  # [N, 3]
+    t0 = jnp.stack(
+        [
+            jnp.floor_divide(b[:, 0], TX),
+            jnp.floor_divide(b[:, 1], TY),
+            jnp.floor_divide(b[:, 2], TZ),
+        ],
+        axis=1,
+    )
+    t1 = jnp.stack(
+        [
+            jnp.floor_divide(b[:, 0] + F - 1, TX),
+            jnp.floor_divide(b[:, 1] + F - 1, TY),
+            jnp.floor_divide(b[:, 2] + F - 1, TZ),
+        ],
+        axis=1,
+    )
+    nt = jnp.asarray([ntx, nty, ntz], jnp.int32)
+
+    eligible = (w != 0.0) & ((rpx < 0.5) | (rpx <= RMAX_PX))
+
+    keys = []
+    for s in range(8):
+        sh = jnp.asarray([(s >> 2) & 1, (s >> 1) & 1, s & 1], jnp.int32)
+        t = t0 + sh[None, :]
+        valid = eligible & jnp.all((t <= t1) & (t >= 0) & (t < nt[None, :]), axis=1)
+        tid = (t[:, 0] * nty + t[:, 1]) * ntz + t[:, 2]
+        keys.append(jnp.where(valid, tid, ntiles))
+    return jnp.stack(keys, axis=1), b
+
+
+@functools.partial(
+    jax.jit, static_argnames=("grid", "np_pad", "interpret", "subsample", "accumulate")
+)
+def _deposit_batch(pos_px, w, rpx, out_init, grid, np_pad, subsample,
+                   accumulate, interpret):
+    """Full deposit of one particle batch into the tile-major output array."""
+    gxp, gyp, gzp = _grid_pad(grid)
+    ntx, nty, ntz = gxp // TX, gyp // TY, gzp // TZ
+    ntiles = ntx * nty * ntz
+    n = pos_px.shape[0]
+
+    keys8, b = _pair_keys(pos_px, rpx, w, grid)
+    keys = keys8.reshape(-1)  # [8N]
+    order = jnp.argsort(keys, stable=True)
+    skeys = keys[order]
+
+    # per-tile counts and chunk-aligned offsets (every tile >= 1 chunk so the
+    # flush initializes even empty tiles)
+    starts = jnp.searchsorted(skeys, jnp.arange(ntiles + 1, dtype=jnp.int32))
+    cnt = jnp.diff(starts)
+    aligned = jnp.maximum((cnt + CHUNK - 1) // CHUNK * CHUNK, CHUNK)
+    aoff = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(aligned, dtype=jnp.int32)])
+    total_aligned = aoff[-1]
+
+    # destination slot d -> source pair
+    d = jnp.arange(np_pad, dtype=jnp.int32)
+    tile_d = jnp.searchsorted(aoff, d, side="right").astype(jnp.int32) - 1
+    tile_d = jnp.clip(tile_d, 0, ntiles - 1)
+    rank = d - aoff[tile_d]
+    src = starts[tile_d] + rank
+    valid_d = (rank < cnt[tile_d]) & (d < total_aligned)
+    src = jnp.where(valid_d, src, 0)
+
+    fidx = order[src]
+    pidx = fidx >> 3
+    combo = fidx & 7
+    sh = jnp.stack([(combo >> 2) & 1, (combo >> 1) & 1, combo & 1], axis=1)
+
+    p_b = b[pidx]  # [np_pad, 3]
+    t = jnp.stack(
+        [
+            jnp.floor_divide(p_b[:, 0], TX),
+            jnp.floor_divide(p_b[:, 1], TY),
+            jnp.floor_divide(p_b[:, 2], TZ),
+        ],
+        axis=1,
+    ) + sh
+
+    px = pos_px[pidx]
+    rp = rpx[pidx]
+    wp = jnp.where(valid_d, w[pidx], 0.0)
+    is_sub = rp < 0.5
+    vol = FOUR_THIRDS_PI * rp * rp * rp
+    w_norm = jnp.where(is_sub, 0.0, wp / jnp.where(is_sub, 1.0, vol))
+
+    ox = px[:, 0] - p_b[:, 0].astype(jnp.float32)
+    oy = px[:, 1] - (t[:, 1] * TY).astype(jnp.float32)
+    oz = px[:, 2] - p_b[:, 2].astype(jnp.float32)
+    # guard padded slots against NaN-producing values
+    ox = jnp.where(valid_d, ox, 4.0)
+    oy = jnp.where(valid_d, oy, 0.0)
+    oz = jnp.where(valid_d, oz, 4.0)
+    rp = jnp.where(valid_d, rp, 1.0)
+
+    row0 = (p_b[:, 0] - t[:, 0] * TX + HALO) * TY  # [np_pad]
+    bz_loc = p_b[:, 2] - t[:, 2] * TZ
+    row0 = jnp.where(valid_d, row0, 0)
+    bz_loc = jnp.where(valid_d, bz_loc, 0)
+
+    nchunks = np_pad // CHUNK
+    attrs = jnp.stack(
+        [
+            ox,
+            oy,
+            oz,
+            rp,
+            w_norm,
+            jnp.where(is_sub, wp, 0.0),
+            is_sub.astype(jnp.float32),
+            jnp.zeros_like(ox),
+        ],
+        axis=0,
+    ).reshape(NATTR, nchunks, CHUNK).transpose(1, 0, 2)
+
+    row0 = row0.reshape(nchunks, 1, CHUNK)
+    bz_loc = bz_loc.reshape(nchunks, 1, CHUNK)
+
+    # chunk -> tile windows (prev, cur, next); pad-chunks inherit the last real
+    # tile so they never re-initialize a flushed tile
+    cstart = jnp.arange(nchunks, dtype=jnp.int32) * CHUNK
+    ctile = jnp.searchsorted(aoff, cstart, side="right").astype(jnp.int32) - 1
+    ctile = jnp.clip(ctile, 0, ntiles - 1)
+    last_real = jnp.searchsorted(aoff, total_aligned - 1, side="right").astype(jnp.int32) - 1
+    ctile = jnp.where(cstart < total_aligned, ctile, last_real)
+    prev = jnp.concatenate([jnp.full(1, -1, jnp.int32), ctile[:-1]])
+    nxt = jnp.concatenate([ctile[1:], jnp.full(1, -2, jnp.int32)])
+    tilewin = jnp.stack([prev, ctile, nxt, jnp.zeros_like(ctile)], axis=1)
+    tilewin = tilewin.reshape(nchunks, 1, 4)
+
+    out = _run_deposit(
+        tilewin, row0, bz_loc, attrs, out_init,
+        nchunks=nchunks, ntiles=ntiles, subsample=subsample,
+        accumulate=accumulate, interpret=interpret,
+    )
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("grid",))
+def _unpack_tiles(out, grid):
+    """Tile-major [ntiles*CROWS, TZ] -> logical (gx, gy, gz)."""
+    gxp, gyp, gzp = _grid_pad(grid)
+    ntx, nty, ntz = gxp // TX, gyp // TY, gzp // TZ
+    v = out.reshape(ntx, nty, ntz, TX, TY, TZ)
+    v = v.transpose(0, 3, 1, 4, 2, 5).reshape(gxp, gyp, gzp)
+    return v[: grid[0], : grid[1], : grid[2]]
+
+
+def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
+                 subsample: int = 4, batch: int = 50_000_000,
+                 interpret: bool | None = None):
+    """Render a 3D density field with the Pallas tile engine.
+
+    Semantics identical to :func:`nbodyhpc_tpu.ops.splat.splat_volume_oracle`
+    (non-periodic / pre-augmented particles). Particles with pixel radius
+    above ``RMAX_PX`` are deposited via the oracle path and summed in.
+    """
+    positions = np.asarray(positions, np.float32)
+    weights = np.asarray(weights, np.float32)
+    radii = np.asarray(radii, np.float32)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    rpx_h = radii * pixels_per_unit
+    huge = (rpx_h > RMAX_PX) & (rpx_h >= 0.5)
+    n_huge = int(np.count_nonzero(huge))
+
+    gx, gy, gz = (int(v) for v in grid)
+    ntiles = _ntiles((gx, gy, gz))
+    out = jnp.zeros((ntiles * CROWS, TZ), jnp.float32)
+
+    small = ~huge
+    pos_s = positions[small]
+    w_s = weights[small]
+    r_s = rpx_h[small]
+    n = pos_s.shape[0]
+
+    first = True
+    for s in range(0, max(n, 1), batch):
+        e = min(s + batch, n)
+        if e <= s:
+            break
+        ppx = jnp.asarray(pos_s[s:e] * pixels_per_unit)
+        wb = jnp.asarray(w_s[s:e])
+        rb = jnp.asarray(r_s[s:e])
+        npairs = int(_count_pairs(ppx, rb, wb, (gx, gy, gz)))
+        need = npairs + CHUNK * ntiles + CHUNK
+        np_pad = 1 << max(int(math.ceil(math.log2(max(need, CHUNK)))), 7)
+        out = _deposit_batch(
+            ppx, wb, rb, out, (gx, gy, gz), np_pad, subsample,
+            accumulate=not first, interpret=interpret,
+        )
+        first = False
+
+    vol = _unpack_tiles(out, (gx, gy, gz))
+
+    if n_huge:
+        from .splat import splat_volume_oracle
+
+        vol_huge = splat_volume_oracle(
+            positions[huge], weights[huge], radii[huge], pixels_per_unit,
+            (gx, gy, gz), subsample,
+        )
+        vol = vol + jnp.asarray(vol_huge)
+    return np.asarray(vol)

@@ -156,18 +156,19 @@ class PointRenderer:
         point_renderer.cpp:825-950."""
         positions, weights, radii = self._prepare(positions, weights, radii, period)
         grid = (self._nx, self._ny, int(num_slices))
-        if self.engine in ("auto", "pallas"):
-            try:
-                from ..ops import splat_pallas
+        import jax
 
-                vol = splat_pallas.splat_volume(
-                    positions, weights, radii, float(pixels_per_unit), grid,
-                    self.subsample_factor,
-                )
-                return np.asfortranarray(vol)
-            except ImportError:
-                if self.engine == "pallas":
-                    raise
+        use_pallas = self.engine == "pallas" or (
+            self.engine == "auto" and jax.default_backend() == "tpu"
+        )
+        if use_pallas:
+            from ..ops import splat_pallas
+
+            vol = splat_pallas.splat_volume(
+                positions, weights, radii, float(pixels_per_unit), grid,
+                self.subsample_factor,
+            )
+            return np.asfortranarray(vol)
         vol = _splat.splat_volume_oracle(
             positions, weights, radii, float(pixels_per_unit), grid,
             self.subsample_factor,
