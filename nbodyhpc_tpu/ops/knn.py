@@ -109,9 +109,10 @@ def _streaming_brute_pass(xyz, n, queries_w, k, box, block: int = 2048):
         neg, sel = jax.lax.top_k(-cat_d2, k)
         return (-neg, jnp.take_along_axis(cat_slot, sel, axis=1)), None
 
+    # zeros derived from q so device-variance matches under shard_map
     init = (
-        jnp.full((q.shape[0], k), jnp.inf, jnp.float32),
-        jnp.zeros((q.shape[0], k), jnp.int32),
+        jnp.full((q.shape[0], k), jnp.inf, jnp.float32) + q[0, 0] * 0.0,
+        jnp.zeros((q.shape[0], k), jnp.int32) + (q[0, 0] * 0.0).astype(jnp.int32),
     )
     (d2, slot), _ = jax.lax.scan(body, init, jnp.arange(nblocks))
     return d2, slot
@@ -276,11 +277,15 @@ def _make_query_fn(meta_static, ladder, k, with_fallback, with_stats):
 
         tree = (xyz, index, offsets)
         meta = (dims, lo, h, periodic, n)
+        # zeros derived from the queries so device-variance is uniform across
+        # lax.cond branches under shard_map
+        zf = queries[0, 0] * 0.0
+        zi = zf.astype(jnp.int32)
         state = (
-            jnp.full((Q, k), jnp.inf, jnp.float32),
-            jnp.zeros((Q, k), jnp.int32),
-            jnp.zeros((Q,), bool),
-            (jnp.zeros((Q,), jnp.int32), jnp.zeros((Q,), jnp.int32)),
+            jnp.full((Q, k), jnp.inf, jnp.float32) + zf,
+            jnp.zeros((Q, k), jnp.int32) + zi,
+            jnp.zeros((Q,), bool) | (zi != 0),
+            (jnp.zeros((Q,), jnp.int32) + zi, jnp.zeros((Q,), jnp.int32) + zi),
         )
 
         state = _cube_pass(tree, meta, qw, qcell, k, ladder[0][0], ladder[0][1], state)

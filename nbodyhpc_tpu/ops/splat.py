@@ -255,6 +255,37 @@ def _splat_chunk_2d(ppx, w, rpx, grid, halfwidth, subsample, ppu):
     return out.at[flat.reshape(-1)].add(vals.reshape(-1))
 
 
+def splat_volume_traced(ppx, w, rpx, grid, halfwidth: int, subsample: int = 4,
+                        wrap=(False, False, False), chunk: int = 256):
+    """Fully-traced volume deposition (jit/shard_map composable).
+
+    Same semantics as :func:`splat_volume_oracle` but takes pixel-space inputs
+    and static ``halfwidth``; scans over fixed-size particle chunks. Particle
+    count must be a multiple of ``chunk`` (pad with weight 0 / radius 1).
+    Returns the flat (gx*gy*gz,) field.
+    """
+    gx, gy, gz = grid
+    n = ppx.shape[0]
+    assert n % chunk == 0
+    nchunks = n // chunk
+
+    def body(acc, i):
+        sl = i * chunk
+        p = jax.lax.dynamic_slice(ppx, (sl, 0), (chunk, 3))
+        wc = jax.lax.dynamic_slice(w, (sl,), (chunk,))
+        rc = jax.lax.dynamic_slice(rpx, (sl,), (chunk,))
+        contrib = _splat_chunk_volume(
+            p, wc, rc, (gx, gy, gz), halfwidth, subsample, tuple(wrap)
+        )
+        return acc + contrib, None
+
+    # derive the zero from the inputs so its device-variance matches the
+    # scan body's output under shard_map (pvary without naming mesh axes)
+    acc = jnp.zeros((gx * gy * gz,), jnp.float32) + ppx[0, 0] * 0.0
+    acc, _ = jax.lax.scan(body, acc, jnp.arange(nchunks))
+    return acc
+
+
 def splat_volume_oracle(
     positions,
     weights,

@@ -1,0 +1,88 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+Validates the z-slab halo-exchange render and the query-sharded k-NN against
+their single-device counterparts (exactness across shard boundaries is the
+'correct-once' property from SURVEY.md §7.3 item 5)."""
+import jax
+import numpy as np
+import pytest
+
+from nbodyhpc_tpu.kdtree import KDTree
+from nbodyhpc_tpu.parallel.mesh import make_slab_mesh
+from nbodyhpc_tpu.parallel.sharded import (
+    knn_query_sharded,
+    render_points_volume_sharded,
+)
+from nbodyhpc_tpu.rasterizer import render_points_volume
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "tests expect the virtual 8-device CPU mesh"
+    return make_slab_mesh()
+
+
+def _particles(n, seed, box=1.0):
+    rng = np.random.Generator(np.random.Philox(seed))
+    pos = (rng.random((n, 3)) * box).astype(np.float32)
+    w = rng.random(n).astype(np.float32) + 0.5
+    r = (rng.random(n) * 0.08 + 0.01).astype(np.float32)
+    return pos, w, r
+
+
+def test_sharded_render_matches_single_device(mesh):
+    pos, w, r = _particles(2000, 1)
+    ppu, grid = 32.0, (32, 32, 32)
+    vol, overflow = render_points_volume_sharded(pos, w, r, ppu, grid, mesh=mesh)
+    assert overflow == 0
+    ref = render_points_volume(pos, w, r, ppu, grid)
+    np.testing.assert_allclose(vol, ref, rtol=2e-5, atol=1e-6)
+
+
+def test_sharded_render_periodic(mesh):
+    pos, w, r = _particles(1000, 2)
+    ppu, grid = 24.0, (24, 24, 24)
+    vol, overflow = render_points_volume_sharded(
+        pos, w, r, ppu, grid, periodic=True, mesh=mesh
+    )
+    assert overflow == 0
+    ref = render_points_volume(pos, w, r, ppu, grid, periodic=True)
+    np.testing.assert_allclose(vol, ref, rtol=2e-5, atol=1e-6)
+    # periodic render conserves mass exactly across slab boundaries
+    np.testing.assert_allclose(vol.sum(), w.sum(), rtol=5e-3)
+
+
+def test_sharded_render_boundary_straddlers(mesh):
+    """Particles placed exactly on slab boundaries are counted exactly once."""
+    nd = 8
+    gz = 32
+    zb = (np.arange(1, nd) * (gz // nd)) / 32.0  # slab boundary z positions
+    pos = np.stack(
+        [np.full(nd - 1, 0.5), np.full(nd - 1, 0.5), zb], axis=1
+    ).astype(np.float32)
+    w = np.ones(nd - 1, np.float32)
+    r = np.full(nd - 1, 0.1, np.float32)
+    vol, overflow = render_points_volume_sharded(pos, w, r, 32.0, (32, 32, 32), mesh=mesh)
+    assert overflow == 0
+    ref = render_points_volume(pos, w, r, 32.0, 32)
+    np.testing.assert_allclose(vol, ref, rtol=2e-5, atol=1e-6)
+
+
+def test_sharded_knn_matches_single(mesh):
+    pos, _, _ = _particles(5000, 3)
+    q, _, _ = _particles(999, 4)  # odd count exercises padding
+    tree = KDTree(pos)
+    d, i = knn_query_sharded(tree._tree, tree._dev, q, 8, mesh=mesh)
+    dref, iref = tree.query(q, k=8)
+    np.testing.assert_array_equal(i, iref)
+    np.testing.assert_allclose(d, dref, rtol=1e-6)
+
+
+def test_sharded_knn_periodic(mesh):
+    pos, _, _ = _particles(3000, 5)
+    q, _, _ = _particles(256, 6)
+    tree = KDTree(pos, boxsize=1.0)
+    d, i = knn_query_sharded(tree._tree, tree._dev, q, 4, mesh=mesh)
+    dref, iref = tree.query(q, k=4)
+    np.testing.assert_array_equal(i, iref)
+    np.testing.assert_allclose(d, dref, rtol=1e-6)
