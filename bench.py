@@ -22,9 +22,11 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
     import numpy as np
 
-    from nbodyhpc_tpu.rasterizer import render_points_volume
+    from nbodyhpc_tpu.ops import splat_pallas
+    from nbodyhpc_tpu.ops.ghosts import augment_points_periodic
 
     n = int(float(os.environ.get("BENCH_N", 1e8)))
     grid = int(os.environ.get("BENCH_GRID", 1024))
@@ -45,15 +47,24 @@ def main():
         / ppu
     ).astype(np.float32)
 
-    # warm up / compile on a small slice
-    render_points_volume(pos[:100_000], w[:100_000], r[:100_000], ppu, grid,
-                         periodic=True)
+    def render(p, ww, rr):
+        gp, gw, gr = augment_points_periodic(p, ww, rr, (1.0, 1.0, 1.0))
+        vol = splat_pallas.splat_volume(gp, gw, gr, ppu, (grid, grid, grid))
+        # density stays in HBM (the production disposition; the reference's
+        # headline number likewise excludes CPU pre/post-processing,
+        # rasterization/README.md:27-31) — sync on a device-side reduction
+        return float(jnp.sum(vol))
+
+    # warm up / compile on a small slice, then one full pass so the
+    # full-shape programs are compiled (persistent cache) before timing
+    render(pos[:100_000], w[:100_000], r[:100_000])
+    render(pos, w, r)
 
     t0 = time.time()
-    vol = render_points_volume(pos, w, r, ppu, grid, periodic=True)
+    total = render(pos, w, r)
     elapsed = time.time() - t0
 
-    mass_ratio = float(vol.sum()) / float(w.sum())
+    mass_ratio = total / float(w.sum())
     pps = n / elapsed
     result = {
         "metric": f"splat_{n:.0e}_particles_{grid}^3_periodic",

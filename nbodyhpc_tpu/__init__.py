@@ -13,4 +13,18 @@ A from-scratch JAX/XLA/Pallas rebuild of the capabilities of wendazhou/nbodyhpc:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("NBODYHPC_TPU_CACHE", "1") != "0":
+    # persistent XLA compilation cache: kernel compiles through the remote
+    # TPU compiler take minutes; cache them across processes
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("NBODYHPC_TPU_CACHE_DIR",
+                        _os.path.expanduser("~/.jax_cache")),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from . import core, ops, utils  # noqa: F401

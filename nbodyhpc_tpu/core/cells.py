@@ -138,7 +138,9 @@ def build_cell_list(
     counts = np.diff(offsets)
     max_cell_count = int(counts.max()) if ncells and n else 0
 
-    npad = max(round_up(max(n, 1), pad_multiple), pad_multiple)
+    # +2048 sentinel margin so per-cell candidate slices (knn.py) can always
+    # read a full slice without clamping, even for cells ending at n
+    npad = max(round_up(max(n, 1), pad_multiple), pad_multiple) + 2048
     xyz = np.full((3, npad), PAD_SENTINEL, dtype=np.float32)
     xyz[:, :n] = points[order].T
     index = np.full(npad, n, dtype=np.uint32)

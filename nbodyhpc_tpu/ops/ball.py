@@ -23,12 +23,14 @@ def _compiled_count(npad, n, periodic, box, block):
         nblocks = npad // block
 
         def body(acc, i):
-            px = jax.lax.dynamic_slice(xyz, (0, i * block), (3, block))
-            d = q[:, :, None] - px[None, :, :]
-            if periodic:
-                L = jnp.asarray(box, jnp.float32)[None, :, None]
-                d = d - L * jnp.round(d / L)
-            d2 = jnp.sum(d * d, axis=1)
+            d2 = jnp.zeros((q.shape[0], block), jnp.float32)
+            for dim in range(3):
+                px = jax.lax.dynamic_slice(xyz, (dim, i * block), (1, block))
+                d = q[:, dim : dim + 1] - px
+                if periodic:
+                    L = float(box[dim])
+                    d = d - L * jnp.round(d * (1.0 / L))
+                d2 = d2 + d * d
             slot = i * block + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
             ok = (d2 <= r2[:, None]) & (slot < n)
             return acc + jnp.sum(ok, axis=1, dtype=jnp.int32), None

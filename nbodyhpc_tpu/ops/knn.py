@@ -95,12 +95,14 @@ def _streaming_brute_pass(xyz, n, queries_w, k, box, block: int = 2048):
     def body(carry, i):
         best_d2, best_slot = carry
         sl = i * block
-        px = jax.lax.dynamic_slice(xyz, (0, sl), (3, block))  # [3, block]
-        d = q[:, :, None] - px[None, :, :]  # [Q, 3, block]
-        if box is not None:
-            b = jnp.asarray(box, jnp.float32)[None, :, None]
-            d = d - b * jnp.round(d / b)
-        d2 = jnp.sum(d * d, axis=1)  # [Q, block]
+        d2 = jnp.zeros((q.shape[0], block), jnp.float32)
+        for dim in range(3):
+            px = jax.lax.dynamic_slice(xyz, (dim, sl), (1, block))  # [1, block]
+            d = q[:, dim : dim + 1] - px
+            if box is not None:
+                L = float(np.asarray(box).reshape(-1)[dim])
+                d = d - L * jnp.round(d * (1.0 / L))
+            d2 = d2 + d * d
         slot = sl + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
         valid = slot < n
         d2 = jnp.where(valid, d2, jnp.inf)
@@ -128,12 +130,6 @@ def _cube_offsets(r: int) -> np.ndarray:
     return np.stack(np.meshgrid(o, o, o, indexing="ij"), axis=-1).reshape(-1, 3)
 
 
-def _searchsorted_rows(cum, b):
-    """Row-wise searchsorted: for each query row of ``cum`` [Q, M] find, for each
-    slot in ``b`` [B], the first cell whose cumulative count exceeds it."""
-    return jax.vmap(lambda c: jnp.searchsorted(c, b, side="right"))(cum)
-
-
 def _cube_pass(tree, meta, queries_w, qcell, k, r, budget, state):
     """One expanding-cube pass at Chebyshev cell radius ``r`` with candidate
     budget ``budget``. Recomputes top-k from the full cube (supersedes smaller
@@ -145,45 +141,60 @@ def _cube_pass(tree, meta, queries_w, qcell, k, r, budget, state):
     M_off = _cube_offsets(r)  # [M, 3] numpy
     M = M_off.shape[0]
 
+    # per-dimension cell coordinates ([Q, M] each) — trailing-3 arrays would be
+    # lane-padded 3 -> 128 on TPU (42x memory), so everything stays split
+    ccd = []
     if periodic:
         static_valid = np.all((M_off + r) < dims[None, :], axis=1)  # dedup wrapped cells
-        cc = qcell[:, None, :] + M_off[None, :, :]
-        cc = np.asarray(dims)[None, None, :] + cc  # ensure positive before mod
-        cc = jnp.mod(cc, jnp.asarray(dims)[None, None, :])
+        for dim in range(3):
+            c = qcell[:, dim : dim + 1] + int(dims[dim]) + M_off[None, :, dim]
+            ccd.append(jnp.mod(c, int(dims[dim])))
         valid = jnp.broadcast_to(jnp.asarray(static_valid)[None, :], (Q, M))
     else:
-        cc = qcell[:, None, :] + M_off[None, :, :]
-        inb = jnp.all((cc >= 0) & (cc < jnp.asarray(dims)[None, None, :]), axis=-1)
-        cc = jnp.clip(cc, 0, jnp.asarray(dims)[None, None, :] - 1)
-        valid = inb
+        valid = jnp.ones((Q, M), bool)
+        for dim in range(3):
+            c = qcell[:, dim : dim + 1] + M_off[None, :, dim]
+            valid = valid & (c >= 0) & (c < int(dims[dim]))
+            ccd.append(jnp.clip(c, 0, int(dims[dim]) - 1))
 
-    ids = (cc[..., 0] * int(dims[1]) + cc[..., 1]) * int(dims[2]) + cc[..., 2]
+    ids = (ccd[0] * int(dims[1]) + ccd[1]) * int(dims[2]) + ccd[2]
     starts = offsets[ids]
     counts = jnp.where(valid, offsets[ids + 1] - starts, 0)  # [Q, M]
-    cum = jnp.cumsum(counts, axis=1)
-    total = cum[:, -1]
-    overflow = total > budget
 
-    b = jnp.arange(budget, dtype=jnp.int32)
-    j = _searchsorted_rows(cum, b)  # [Q, B] cell index per slot
-    j_cl = jnp.minimum(j, M - 1)
-    base = jnp.where(j_cl > 0, jnp.take_along_axis(cum, jnp.maximum(j_cl - 1, 0), axis=1), 0)
-    slot = jnp.take_along_axis(starts, j_cl, axis=1) + (b[None, :] - base)
-    valid_b = b[None, :] < jnp.minimum(total, budget)[:, None]
-    slot = jnp.where(valid_b, slot, 0)
+    # cells whose occupancy exceeds the per-cell slice cap are truncated and
+    # force escalation (exactness preserved by later rungs / brute fallback)
+    ccap = budget
+    overflow = jnp.any(valid & (counts > ccap), axis=1)
+    cnt_cl = jnp.minimum(counts, ccap)
+    taken = jnp.sum(cnt_cl, axis=1)
 
-    # gather candidate positions: [3, Q, B]
-    px = xyz[:, slot]
-    d = queries_w.T[:, :, None] - px
-    if periodic:  # min-image wrap, reference kdtree.hpp:66-87
-        L = (jnp.asarray(dims, jnp.float32) * jnp.asarray(h, jnp.float32))[:, None, None]
-        d = d - L * jnp.round(d / L)
-    d2 = jnp.sum(d * d, axis=0)  # [Q, B]
-    d2 = jnp.where(valid_b, d2, jnp.inf)
+    # candidates fetched as contiguous per-cell slices — the sorted cell-list
+    # layout makes each cell one run, so this lowers to batched dynamic-slice
+    # instead of elementwise random gather (the AVX2 leaf-block scan analog,
+    # reference kdtree_opt.hpp:105-248: blocks are scanned contiguously there
+    # for exactly the same reason)
+    npad = xyz.shape[1]
+    starts_cl = jnp.minimum(starts, npad - ccap)  # build pads npad beyond n
+    j_idx = jnp.arange(ccap, dtype=jnp.int32)
+    valid_c = valid[:, :, None] & (j_idx[None, None, :] < cnt_cl[:, :, None])
+    slice2 = jax.vmap(jax.vmap(
+        lambda arr, s: jax.lax.dynamic_slice(arr, (s,), (ccap,)),
+        in_axes=(None, 0)), in_axes=(None, 0))
+    d2 = jnp.zeros((Q, M, ccap), jnp.float32)
+    for dim in range(3):
+        px = slice2(xyz[dim], starts_cl)  # [Q, M, ccap]
+        d = queries_w[:, dim, None, None] - px
+        if periodic:  # min-image wrap, reference kdtree.hpp:66-87
+            L = float(dims[dim]) * float(h[dim])
+            d = d - L * jnp.round(d * (1.0 / L))
+        d2 = d2 + d * d
+    d2 = jnp.where(valid_c, d2, jnp.inf).reshape(Q, M * ccap)
+    slot = (starts_cl[:, :, None] + j_idx[None, None, :]).reshape(Q, M * ccap)
+    if M * ccap < k:  # tiny trees: pad so top_k is well-formed
+        pad = k - M * ccap
+        d2 = jnp.pad(d2, ((0, 0), (0, pad)), constant_values=jnp.inf)
+        slot = jnp.pad(slot, ((0, 0), (0, pad)))
 
-    pad_k = budget < k
-    if pad_k:  # can't happen by construction, guard anyway
-        raise ValueError("budget must be >= k")
     neg, sel = jax.lax.top_k(-d2, k)
     new_d2 = -neg
     new_slot = jnp.take_along_axis(slot, sel, axis=1)
@@ -231,21 +242,20 @@ def _cube_pass(tree, meta, queries_w, qcell, k, r, budget, state):
     conv_out = old_conv | (upd & new_conv)
     cells_scanned, points_visited = stats
     cells_scanned = cells_scanned + jnp.where(upd, jnp.sum(valid, axis=1), 0)
-    points_visited = points_visited + jnp.where(upd, jnp.minimum(total, budget), 0)
+    points_visited = points_visited + jnp.where(upd, taken, 0)
     return d2_out, slot_out, conv_out, (cells_scanned, points_visited)
 
 
 def default_ladder(k: int, tree: CellList, budget_cap: int = 16384):
-    """Static (radius, budget) escalation ladder sized from build-time stats."""
-    occ = max(tree.n / max(tree.ncells, 1), 1.0)
+    """Static (radius, per-cell slice cap) escalation ladder from build stats."""
+    mcc = max(tree.max_cell_count, 1)
     max_dim = int(np.max(tree.dims))
-    rungs = []
-    for r in (1, 2, 4):
-        want = (2 * r + 1) ** 3 * occ * 4
-        hard = (2 * r + 1) ** 3 * max(tree.max_cell_count, 1)
-        budget = round_up(int(min(max(want, 4 * k + 32), min(hard, budget_cap))), 128)
-        budget = max(budget, round_up(k, 128))
-        rungs.append((r, budget))
+    rungs = [(1, int(min(mcc, 256)))]
+    if mcc > 256:
+        # clustered data: a capacity rung before widening the radius
+        rungs.append((1, int(min(mcc, 2048))))
+    for r, cap in ((2, 128), (4, 64)):
+        rungs.append((r, int(min(mcc, cap))))
         if 2 * r + 1 >= max_dim:
             break
     # dedup identical rungs
@@ -365,6 +375,10 @@ def cell_knn_query(
     )
     fn = _compiled_query(meta_static, tuple(ladder), int(k), bool(with_fallback), bool(with_stats))
     xyz, index, offsets = tree_dev
+
+    # bound peak memory: the biggest pass materializes [chunk, M, ccap]
+    bmax = max(((2 * r + 1) ** 3) * c for r, c in ladder)
+    chunk = min(chunk, max(2048, (1 << 25) // bmax))
 
     out_d = np.empty((Q, k), np.float32)
     out_i = np.empty((Q, k), np.uint32)

@@ -123,17 +123,25 @@ def _deposit_kernel(tilewin_ref, row0_ref, bz_ref, attrs_ref, _outin_ref,
             (cx >= -half) & (cx < half) & (cy >= -half) & (cy < half) & zclip
         )
 
-        # subcell sum in the oracle's association order: (ax + ay) + az < r^2
+        # subcell sum in the oracle's association order: (ax + ay) + az < r^2;
+        # per-axis squares hoisted out of the triple loop (Mosaic does not CSE
+        # across the unrolled iterations)
+        dxa2 = []
+        dyb2 = []
+        dzc2 = []
+        for a in range(S):
+            t = dx - u[a]
+            dxa2.append(t * t)
+            t = dy - u[a]
+            dyb2.append(t * t)
+            t = dz - u[a]
+            dzc2.append(t * t)
         count = jnp.zeros((64, TZ), jnp.float32)
         for a in range(S):
-            dxa = dx - u[a]
-            dxa2 = dxa * dxa
             for b in range(S):
-                dyb = dy - u[b]
-                sab = dxa2 + dyb * dyb
+                sab = dxa2[a] + dyb2[b]
                 for c in range(S):
-                    dzc = dz - u[c]
-                    count = count + jnp.where(sab + dzc * dzc < r2, 1.0, 0.0)
+                    count = count + jnp.where(sab + dzc2[c] < r2, 1.0, 0.0)
         big_val = w_norm * (count * inv_s3) * cover
 
         # ---- sub-pixel path (triangle.vert:47-60) ----
@@ -421,7 +429,10 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
         rb = jnp.asarray(r_s[s:e])
         npairs = int(_count_pairs(ppx, rb, wb, (gx, gy, gz)))
         need = npairs + CHUNK * ntiles + CHUNK
-        np_pad = 1 << max(int(math.ceil(math.log2(max(need, CHUNK)))), 7)
+        # bucket to ~1.2x steps: bounded compile variants, low pad waste
+        np_pad = CHUNK
+        while np_pad < need:
+            np_pad = (int(np_pad * 1.2) + CHUNK) // CHUNK * CHUNK
         out = _deposit_batch(
             ppx, wb, rb, out, (gx, gy, gz), np_pad, subsample,
             accumulate=not first, interpret=interpret,
@@ -438,4 +449,5 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
             (gx, gy, gz), subsample,
         )
         vol = vol + jnp.asarray(vol_huge)
-    return np.asarray(vol)
+    # stays device-resident; callers that need numpy convert at the API edge
+    return vol

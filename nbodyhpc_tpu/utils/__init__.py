@@ -1,0 +1,1 @@
+from . import philox, png, stats  # noqa: F401
