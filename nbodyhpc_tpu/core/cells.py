@@ -139,10 +139,11 @@ def build_cell_list(
     max_cell_count = int(counts.max()) if ncells and n else 0
 
     # +2048 sentinel margin so per-cell candidate slices (knn.py) can always
-    # read a full slice without clamping, even for cells ending at n
+    # read a full slice without clamping, even for cells ending at n; 4 rows
+    # (3 dims + zero row) so whole-array DMA slices satisfy sublane tiling
     npad = max(round_up(max(n, 1), pad_multiple), pad_multiple) + 2048
-    xyz = np.full((3, npad), PAD_SENTINEL, dtype=np.float32)
-    xyz[:, :n] = points[order].T
+    xyz = np.full((4, npad), PAD_SENTINEL, dtype=np.float32)
+    xyz[:3, :n] = points[order].T
     index = np.full(npad, n, dtype=np.uint32)
     index[:n] = order.astype(np.uint32)
 

@@ -351,18 +351,51 @@ def cell_knn_query(
     chunk: int = 65536,
     with_fallback: bool = True,
     with_stats: bool = False,
+    use_kernel: str = "auto",
 ) -> KnnResult:
     """Exact batched k-NN against a :class:`CellList`.
 
     ``tree_dev`` is the (xyz, index, offsets) device-array triple. Queries are
     processed in host-chunked batches of ``chunk`` (cooperative cancellation
     between chunks, the analog of the reference's per-1000-query signal polling,
-    kdtree/src/cpp/pybind.cpp:127-134).
+    kdtree/src/cpp/pybind.cpp:127-134). On TPU, large batches take the
+    DMA-fed Pallas candidate kernel (ops/knn_pallas.py) with the exact ladder
+    finishing any unconverged remainder.
     """
     queries = np.asarray(queries, dtype=np.float32)
     Q = queries.shape[0]
     if k <= 0:
         raise ValueError("k must be positive")  # reference: pybind.cpp:92-94
+
+    kernel_ok = (
+        use_kernel == "force"
+        or (
+            use_kernel == "auto"
+            and not with_stats
+            and Q >= 8192
+            and jax.default_backend() == "tpu"
+        )
+    )
+    if kernel_ok:
+        from . import knn_pallas
+
+        d2, slot, conv = knn_pallas.query_blocks(
+            tree, tree_dev, queries, k, interpret=use_kernel == "force"
+            and jax.default_backend() != "tpu",
+        )
+        idx_host = np.asarray(tree.index)
+        gidx = idx_host[np.clip(slot, 0, idx_host.shape[0] - 1)]
+        gidx = np.where(np.isfinite(d2), gidx, np.uint32(tree.n)).astype(np.uint32)
+        dist = np.sqrt(d2)
+        bad = ~conv
+        if bad.any():
+            sub = cell_knn_query(
+                tree, tree_dev, queries[bad], k, ladder=ladder, chunk=chunk,
+                with_fallback=with_fallback, use_kernel="never",
+            )
+            dist[bad] = sub.distances
+            gidx[bad] = sub.indices
+        return KnnResult(dist, gidx, None)
     if ladder is None:
         ladder = default_ladder(k, tree)
     meta_static = (

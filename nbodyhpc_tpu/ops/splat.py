@@ -114,8 +114,10 @@ def footprint_values(ppx, w, rpx, halfwidth: int, subsample: int):
     for a in range(subsample):
         for b in range(subsample):
             m = ax[:, :, a][:, :, None, None] + ay[:, :, b][:, None, :, None]
-            # (C, Fx, Fy, 1) + (C, 1, 1, Fz, S) -> sum over S
-            inside = (m[..., None] + az[:, None, None, :, :]) < r2[..., None]
+            # (C, Fx, Fy, 1): compare az < r^2 - (ax + ay), hoisting the
+            # z-independent part (kernel and oracle share this association)
+            rab = r2[..., None] - m[..., None]
+            inside = az[:, None, None, :, :] < rab
             count = count + jnp.sum(inside, axis=-1, dtype=jnp.float32)
     overlap = count / float(subsample**3)
 

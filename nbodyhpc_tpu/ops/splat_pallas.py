@@ -3,40 +3,44 @@
 The reference gets scatter-add for free from Vulkan's additive blending
 (reference: rasterization/src/cpp/point_renderer.cpp:306-313); its per-slice
 draw loop streams z-culled vertex ranges through up to 8 hardware queues
-(point_renderer.cpp:864-946). TPUs have no scatter hardware, so this module
-re-derives deposition as a sort-then-accumulate pipeline:
+(point_renderer.cpp:864-946). TPUs have no scatter hardware and XLA's gather/
+scatter are scalar-slow, so this module re-derives deposition as a fully
+gather-free sort-then-accumulate pipeline:
 
-1. **Pair expansion (XLA)** — every particle is assigned to each grid *tile*
-   its F=8-voxel footprint window touches (<= 8 tiles; ~2x on average). This
-   replaces the reference's ghost/cull logic with static-shape masks.
-2. **Tile sort (XLA)** — pairs are sorted by tile id (one ~N log N u32 sort,
-   the analog of the reference's z-sort, vertex_utilities.cpp:7-11), then laid
-   out in 128-particle chunks aligned so each tile owns whole chunks.
-3. **Pallas deposit kernel** — a 1D grid over chunks. Per chunk: 8 groups of
-   16 particles are evaluated *lane-packed* (lanes = 16 particles x 8 z-window
-   slots, rows = 8x x 8y footprint offsets), reproducing the fragment shader's
-   subsample-cube overlap math (triangle.frag:25-45) and the vertex shader's
-   point-size/sub-pixel rules (triangle.vert:41-63) in dense [64, 128] VPU
-   tensors. Each particle's z-profile is rotated into place (dynamic lane roll)
-   and accumulated into a VMEM tile accumulator with halo rows; when the chunk
-   stream crosses a tile boundary the accumulator center is DMA'd to the
-   HBM-resident output (optionally read-modify-write for multi-batch
-   accumulation — the analog of the reference's multi-queue in-flight
-   submission is Pallas's automatic double-buffered block pipeline).
+1. **Pair expansion + multi-operand sort (XLA).** Every particle is assigned
+   to each grid *tile* its F=8 footprint window touches (<= 8, ~1.24x average
+   with this geometry). The particle channels (position, weight, radius) ride
+   along the tile-key sort as extra sort operands — XLA's sort moves payloads
+   inside its comparator network, avoiding the catastrophic cost of
+   post-sort random gathers. Tile-local attributes are then derived
+   elementwise from (key, position) alone.
+2. **Alignment kernel (Pallas).** Ragged per-tile runs are repacked so every
+   tile owns whole 128-pair chunks, via chunked DMA copies (one contiguous
+   run per tile) — the ragged-to-padded step XLA cannot express efficiently.
+3. **Deposit kernel (Pallas).** A 1D grid over chunks; a VMEM accumulator
+   holds the current tile (with x/z halo rows so footprint windows never
+   clip). 16 particles per group are evaluated *lane-packed* (lanes = 16
+   particles x 8 y-window slots; rows = 8x x 8z footprint offsets),
+   reproducing the fragment shader's subsample-cube overlap
+   (triangle.frag:25-45) and the vertex shader's point-size / sub-pixel rules
+   (triangle.vert:41-63). Each particle's y-profile is rotated into lane
+   position (dynamic roll) and accumulated with eight 8-row RMWs. When the
+   chunk stream crosses a tile boundary the accumulator center is DMA'd to
+   the HBM-resident tile-major output (read-modify-write prefetch when
+   accumulating across particle batches).
 
-Tile geometry: (TX, TY, TZ) = (128, 8, 128) voxels. Accumulator rows encode
-(x_slot, y) with an 8-voxel x halo on each side so footprint windows never
-need clipping; lanes encode z. Output is written tile-major and relaid out to
-the (gx, gy, gz) logical grid by one XLA transpose.
+Tile geometry: (TX, TY, TZ) = (128, 128, 64) voxels; lanes = y (the roll
+axis), accumulator rows = (x + 8-voxel halo) x (z + 8-voxel halo) =
+(144, 80) -> 11520 rows. Average tile duplication (1+7/128)^2 (1+7/64)
+~= 1.24.
 
 Radius support: pixel radii <= RMAX_PX = 3.0 (footprint 8^3) plus sub-pixel
-particles. Larger radii are deposited by the oracle path (splat.py) — the
-caller splits the population (see ``splat_volume``).
+particles; larger radii run through the oracle path (splat.py) and are summed
+in (see ``splat_volume``).
 """
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -47,85 +51,126 @@ from jax.experimental.pallas import tpu as pltpu
 from .splat import FOUR_THIRDS_PI
 
 # --- static geometry ---
-TX, TY, TZ = 128, 8, 128  # tile shape in voxels
-F = 8                     # footprint window per dim
-HALO = 8                  # x halo (voxels) on each side of the tile
-XSLOTS = TX + 2 * HALO    # 144
-ROWS = XSLOTS * TY        # 1152 accumulator rows; center rows [64, 64+1024)
-CROWS = TX * TY           # 1024 center rows per tile
-CHUNK = 128               # particles per grid step
+TX, TY, TZ = 128, 128, 64   # tile shape in voxels; y is the lane axis
+F = 8                       # footprint window per dim
+HALO = 8                    # x/z halo rows on each side
+XSLOTS = TX + 2 * HALO      # 144
+ZSLOTS = TZ + 2 * HALO      # 80
+ROWS = XSLOTS * ZSLOTS      # 11520 accumulator rows
+CROWS = TX * TZ             # 8192 center rows per tile (x-major, z-minor)
+CHUNK = 128                 # pairs per grid step
 GROUPS = CHUNK // 16
-RMAX_PX = 3.0             # max pixel radius handled by the F=8 window
-NATTR = 8
+ACHUNK = 2048               # rows per alignment-copy DMA
+RMAX_PX = 3.0               # max pixel radius for the F=8 window
+NF = 8                      # f32 channels: ox oy oz rpx w_norm w_raw is_sub spare
+NI = 4                      # i32 channels: tile row0 by_local spare
 
 
-def _deposit_kernel(tilewin_ref, row0_ref, bz_ref, attrs_ref, _outin_ref,
-                    out_ref, acc_ref, sem_ref, *, subsample: int,
-                    accumulate: bool):
-    prev = tilewin_ref[0, 0, 0]
-    cur = tilewin_ref[0, 0, 1]
-    nxt = tilewin_ref[0, 0, 2]
+# ---------------------------------------------------------------------------
+# deposit kernel
+# ---------------------------------------------------------------------------
 
-    @pl.when(prev != cur)
-    def _init():
-        acc_ref[:] = jnp.zeros((ROWS, TZ), jnp.float32)
-        if accumulate:
+
+def _deposit_kernel(tilei_ref, attrs_ref, _outin, out_ref, acc_ref, cur_ref,
+                    sem_ref, *, subsample: int, accumulate: bool,
+                    nchunks: int):
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        cur_ref[0] = jnp.int32(-1)
+
+    tile = tilei_ref[0, 0, 0]  # all pairs in a chunk share one tile (aligned)
+
+    def flush(t):
+        def body(x, _):
             dma = pltpu.make_async_copy(
-                out_ref.at[pl.ds(cur * CROWS, CROWS), :],
-                acc_ref.at[pl.ds(HALO * TY, CROWS), :],
+                acc_ref.at[pl.ds((x + HALO) * ZSLOTS + HALO, TZ), :],
+                out_ref.at[pl.ds(t * CROWS + x * TZ, TZ), :],
                 sem_ref,
             )
             dma.start()
             dma.wait()
+            return 0
 
-    # lane-group index for the exact select-based expansion (an MXU one-hot
-    # matmul would truncate attribute mantissas to bf16 and corrupt floor()
-    # comparisons near integers)
-    lane_grp = jax.lax.broadcasted_iota(jnp.int32, (NATTR, 128), 1) // 8
-    lane = jax.lax.broadcasted_iota(jnp.int32, (64, TZ), 1)
-    irow = jax.lax.broadcasted_iota(jnp.int32, (64, TZ), 0) // TY  # i in [0,8)
-    jrow = jax.lax.broadcasted_iota(jnp.int32, (64, TZ), 0) % TY   # y in [0,8)
-    zrel = (lane % 8).astype(jnp.float32)
+        jax.lax.fori_loop(0, TX, body, 0)
+
+    @pl.when(tile != cur_ref[0])
+    def _():
+        @pl.when(cur_ref[0] >= 0)
+        def _():
+            flush(cur_ref[0])
+
+        acc_ref[:] = jnp.zeros((ROWS, TY), jnp.float32)
+        if accumulate:
+
+            def body(x, _):
+                dma = pltpu.make_async_copy(
+                    out_ref.at[pl.ds(tile * CROWS + x * TZ, TZ), :],
+                    acc_ref.at[pl.ds((x + HALO) * ZSLOTS + HALO, TZ), :],
+                    sem_ref,
+                )
+                dma.start()
+                dma.wait()
+                return 0
+
+            jax.lax.fori_loop(0, TX, body, 0)
+        cur_ref[0] = tile
+
+    lane_grp = jax.lax.broadcasted_iota(jnp.int32, (NF, 128), 1) // 8
+    expand_t = (
+        jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1) // 8
+        == jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
+    ).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (64, TY), 1)
+    irow = jax.lax.broadcasted_iota(jnp.int32, (64, TY), 0) // F   # x offset
+    zrow = jax.lax.broadcasted_iota(jnp.int32, (64, TY), 0) % F    # z offset
+    yrel = (lane % 8).astype(jnp.float32)
     i_f = irow.astype(jnp.float32)
-    j_f = jrow.astype(jnp.float32)
+    z_f = zrow.astype(jnp.float32)
     S = subsample
     u = [(a + 0.5) / S for a in range(S)]
     inv_s3 = 1.0 / float(S**3)
 
     for g in range(GROUPS):
-        # expand to [NATTR, 128]: attr value of particle p on lanes [8p, 8p+8)
-        aexp = jnp.zeros((NATTR, 128), jnp.float32)
-        for p in range(16):
-            col = attrs_ref[0, :, g * 16 + p][:, None]  # [NATTR, 1]
-            aexp = jnp.where(lane_grp == p, col, aexp)
+        # exact f32 lane expansion via bf16x3 one-hot matmul (MXU truncates
+        # inputs to bf16; three exact pieces reconstruct in the f32
+        # accumulator — see .claude/skills/verify/SKILL.md gotchas)
+        a16 = attrs_ref[0, :, g * 16 : (g + 1) * 16]  # [NF, 16]
+        p1 = a16.astype(jnp.bfloat16).astype(jnp.float32)
+        r1 = a16 - p1
+        p2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
+        p3 = r1 - p2
+        aexp = jnp.zeros((NF, 128), jnp.float32)
+        for piece in (p1, p2, p3):
+            aexp = aexp + jax.lax.dot_general(
+                piece, expand_t, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         ox = aexp[0:1, :]       # Px - bx, in [3.5, 4.5)
-        oy = aexp[1:2, :]       # Py - tile_y0, in [-7, 15)
+        oy = aexp[1:2, :]       # Py - by, in [3.5, 4.5)
         oz = aexp[2:3, :]       # Pz - bz, in [3.5, 4.5)
         rpx = aexp[3:4, :]
         w_norm = aexp[4:5, :]
         w_raw = aexp[5:6, :]
         is_sub = aexp[6:7, :] > 0.5
 
-        # corner deltas on the packed layout
-        dx = ox - i_f           # [64, TZ] via broadcast
-        dy = oy - j_f
-        dz = oz - zrel
+        dx = ox - i_f           # [64, TY] corner deltas on the packed layout
+        dy = oy - yrel
+        dz = oz - z_f
         r2 = rpx * rpx
 
-        # ---- big-particle path (triangle.vert:41-45 + triangle.frag:25-45) --
+        # --- big-particle path (triangle.vert:41-45 + triangle.frag:25-45) --
         zoff = dz - 0.5
         zclip = jnp.abs(zoff) <= rpx + 1.0
         plane_r = jnp.sqrt(jnp.maximum(r2 - zoff * zoff, 0.0))
         half = jnp.ceil(plane_r) + 1.0
-        cx = 0.5 - dx           # pixel-center offset: (b+i)+0.5 - Px = -(dx)+.5
+        cx = 0.5 - dx
         cy = 0.5 - dy
-        cover = (
-            (cx >= -half) & (cx < half) & (cy >= -half) & (cy < half) & zclip
-        )
+        cover = (cx >= -half) & (cx < half) & (cy >= -half) & (cy < half) & zclip
 
-        # subcell sum in the oracle's association order: (ax + ay) + az < r^2;
-        # per-axis squares hoisted out of the triple loop (Mosaic does not CSE
-        # across the unrolled iterations)
+        # subcell sum, oracle association order: (ax + ay) + az < r^2, with
+        # per-axis squares hoisted (Mosaic does not CSE across the unroll)
         dxa2 = []
         dyb2 = []
         dzc2 = []
@@ -136,80 +181,172 @@ def _deposit_kernel(tilewin_ref, row0_ref, bz_ref, attrs_ref, _outin_ref,
             dyb2.append(t * t)
             t = dz - u[a]
             dzc2.append(t * t)
-        count = jnp.zeros((64, TZ), jnp.float32)
+        count = jnp.zeros((64, TY), jnp.float32)
         for a in range(S):
             for b in range(S):
-                sab = dxa2[a] + dyb2[b]
-                for c in range(S):
-                    count = count + jnp.where(sab + dzc2[c] < r2, 1.0, 0.0)
+                rab = r2 - (dxa2[a] + dyb2[b])
+                for cc in range(S):
+                    count = count + jnp.where(dzc2[cc] < rab, 1.0, 0.0)
         big_val = w_norm * (count * inv_s3) * cover
 
-        # ---- sub-pixel path (triangle.vert:47-60) ----
+        # --- sub-pixel path (triangle.vert:47-60) ---
         sub_val = jnp.where(
             (i_f == jnp.floor(ox))
-            & (j_f == jnp.floor(oy))
-            & (zrel == jnp.ceil(oz) - 1.0),
+            & (yrel == jnp.floor(oy))
+            & (z_f == jnp.ceil(oz) - 1.0),
             w_raw,
             0.0,
         )
-        pc = jnp.where(is_sub, sub_val, big_val)  # [64, TZ] packed contributions
+        pc = jnp.where(is_sub, sub_val, big_val)  # [64, TY] packed
 
-        # ---- per-particle deposit: roll z-window into place, single RMW ----
+        # --- per-particle deposit: roll y-window into lane position ---
         for p in range(16):
             i = g * 16 + p
-            row0 = row0_ref[0, 0, i]
-            bz = bz_ref[0, 0, i]
-            shift = jax.lax.rem(bz - 8 * p + 256, 128)
+            row0 = tilei_ref[0, 1, i]
+            by = tilei_ref[0, 2, i]
+            shift = jax.lax.rem(by - 8 * p + 256, 128)
             rolled = pltpu.roll(pc, shift, axis=1)
-            inwin = (lane - bz).astype(jnp.uint32) < 8  # [bz, bz+8) ∩ [0,128)
+            inwin = (lane - by).astype(jnp.uint32) < 8  # [by, by+8) ∩ [0,128)
             contrib = jnp.where(inwin, rolled, 0.0)
-            acc_ref[pl.ds(row0, 64), :] = acc_ref[pl.ds(row0, 64), :] + contrib
+            for xi in range(F):
+                sl = pl.ds(row0 + xi * ZSLOTS, F)
+                acc_ref[sl, :] = acc_ref[sl, :] + contrib[xi * F : (xi + 1) * F, :]
 
-    @pl.when(nxt != cur)
-    def _flush():
-        dma = pltpu.make_async_copy(
-            acc_ref.at[pl.ds(HALO * TY, CROWS), :],
-            out_ref.at[pl.ds(cur * CROWS, CROWS), :],
-            sem_ref,
-        )
-        dma.start()
-        dma.wait()
+    @pl.when(c == nchunks - 1)
+    def _():
+        flush(cur_ref[0])
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("nchunks", "ntiles", "subsample", "accumulate", "interpret"),
 )
-def _run_deposit(tilewin, row0, bz, attrs, out_init, nchunks, ntiles,
-                 subsample, accumulate, interpret):
+def _run_deposit(tilei, attrs, out_init, nchunks, ntiles, subsample,
+                 accumulate, interpret):
     kernel = functools.partial(
-        _deposit_kernel, subsample=subsample, accumulate=accumulate
+        _deposit_kernel, subsample=subsample, accumulate=accumulate,
+        nchunks=nchunks,
     )
     return pl.pallas_call(
         kernel,
         grid=(nchunks,),
         in_specs=[
-            pl.BlockSpec((1, 1, 4), lambda c: (c, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, CHUNK), lambda c: (c, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, CHUNK), lambda c: (c, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, NATTR, CHUNK), lambda c: (c, 0, 0),
+            pl.BlockSpec((1, NI, CHUNK), lambda c: (c, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, NF, CHUNK), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((ntiles * CROWS, TZ), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ntiles * CROWS, TY), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((ROWS, TZ), jnp.float32),
+            pltpu.VMEM((ROWS, TY), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
-        input_output_aliases={4: 0},
+        input_output_aliases={2: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(tilewin, row0, bz, attrs, out_init)
+    )(tilei, attrs, out_init)
 
 
 # ---------------------------------------------------------------------------
-# XLA preprocessing: pair expansion, tile sort, chunk-aligned layout
+# alignment kernel: ragged per-tile runs -> chunk-aligned layout (DMA copies)
+# ---------------------------------------------------------------------------
+
+
+AFETCH = ACHUNK + 128  # aligned staging width
+
+
+def _align_kernel(starts_ref, cnts_ref, aoff_ref, srcf_ref, srci_ref,
+                  _dstf_in, _dsti_in, dstf_ref, dsti_ref, scrf, scri,
+                  semf, semi):
+    t = pl.program_id(0)
+    s = starts_ref[t]
+    cnt = cnts_ref[t]
+    a = pl.multiple_of(aoff_ref[t], 128)  # aligned offsets are CHUNK-multiples
+    # source run starts anywhere: fetch from the 128-aligned floor and roll
+    shift = jax.lax.rem(s, 128)
+    s0 = pl.multiple_of(s - shift, 128)
+    rshift = jax.lax.rem(AFETCH - shift, AFETCH)
+    nchunks = (cnt + ACHUNK - 1) // ACHUNK  # staged copies incl. tail
+
+    def copy(i, _):
+        df = pltpu.make_async_copy(
+            srcf_ref.at[:, pl.ds(s0 + i * ACHUNK, AFETCH)], scrf, semf
+        )
+        di = pltpu.make_async_copy(
+            srci_ref.at[:, pl.ds(s0 + i * ACHUNK, AFETCH)], scri, semi
+        )
+        df.start()
+        di.start()
+        df.wait()
+        di.wait()
+        nreal = cnt - i * ACHUNK  # rows of this chunk that are real
+        idx = jax.lax.broadcasted_iota(jnp.int32, (NF, AFETCH), 1)
+        rolled_f = pltpu.roll(scrf[:], rshift, axis=1)
+        scrf[:] = jnp.where(idx < nreal, rolled_f, 0.0)
+        idxi = jax.lax.broadcasted_iota(jnp.int32, (NI, AFETCH), 1)
+        chan = jax.lax.broadcasted_iota(jnp.int32, (NI, AFETCH), 0)
+        pad_i = jnp.where(
+            chan == 0, t, jnp.where(chan == 1, HALO * ZSLOTS + HALO, 0)
+        )
+        rolled_i = pltpu.roll(scri[:], rshift, axis=1)
+        scri[:] = jnp.where(idxi < nreal, rolled_i, pad_i)
+        dfo = pltpu.make_async_copy(
+            scrf.at[:, :ACHUNK], dstf_ref.at[:, pl.ds(a + i * ACHUNK, ACHUNK)],
+            semf,
+        )
+        dio = pltpu.make_async_copy(
+            scri.at[:, :ACHUNK], dsti_ref.at[:, pl.ds(a + i * ACHUNK, ACHUNK)],
+            semi,
+        )
+        dfo.start()
+        dio.start()
+        dfo.wait()
+        dio.wait()
+        return 0
+
+    jax.lax.fori_loop(0, jnp.maximum(nchunks, 1), copy, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("np_pad", "ntiles", "interpret"))
+def _run_align(starts, cnts, aoff, srcf, srci, dstf_init, dsti_init,
+               np_pad, ntiles, interpret):
+    return pl.pallas_call(
+        _align_kernel,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((NF, np_pad), jnp.float32),
+            jax.ShapeDtypeStruct((NI, np_pad), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NF, AFETCH), jnp.float32),
+            pltpu.VMEM((NI, AFETCH), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={5: 0, 6: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(starts, cnts, aoff, srcf, srci, dstf_init, dsti_init)
+
+
+# ---------------------------------------------------------------------------
+# XLA preprocessing (gather-free)
 # ---------------------------------------------------------------------------
 
 
@@ -222,201 +359,186 @@ def _grid_pad(g):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("grid",))
-def _count_pairs(ppx, rpx, w, grid):
-    """Cheap count of valid (particle, tile) pairs to size the padded layout."""
-    keys, _ = _pair_keys(ppx, rpx, w, grid)
-    ntiles = _ntiles(grid)
-    return jnp.sum(keys < ntiles)
-
-
 def _ntiles(grid):
     gxp, gyp, gzp = _grid_pad(grid)
     return (gxp // TX) * (gyp // TY) * (gzp // TZ)
 
 
 def _pair_keys(ppx, rpx, w, grid):
-    """[N, 8] tile keys (ntiles = invalid) for the <=8 tiles each footprint
+    """[8, N] tile keys (ntiles = invalid) for the tiles each footprint
     window touches, plus the window base b = ceil(ppx - 4.5)."""
     gxp, gyp, gzp = _grid_pad(grid)
     ntx, nty, ntz = gxp // TX, gyp // TY, gzp // TZ
     ntiles = ntx * nty * ntz
 
     b = jnp.ceil(ppx - (F / 2 + 0.5)).astype(jnp.int32)  # [N, 3]
-    t0 = jnp.stack(
-        [
-            jnp.floor_divide(b[:, 0], TX),
-            jnp.floor_divide(b[:, 1], TY),
-            jnp.floor_divide(b[:, 2], TZ),
-        ],
-        axis=1,
-    )
-    t1 = jnp.stack(
-        [
-            jnp.floor_divide(b[:, 0] + F - 1, TX),
-            jnp.floor_divide(b[:, 1] + F - 1, TY),
-            jnp.floor_divide(b[:, 2] + F - 1, TZ),
-        ],
-        axis=1,
-    )
-    nt = jnp.asarray([ntx, nty, ntz], jnp.int32)
+    t0x = jnp.floor_divide(b[:, 0], TX)
+    t0y = jnp.floor_divide(b[:, 1], TY)
+    t0z = jnp.floor_divide(b[:, 2], TZ)
+    t1x = jnp.floor_divide(b[:, 0] + F - 1, TX)
+    t1y = jnp.floor_divide(b[:, 1] + F - 1, TY)
+    t1z = jnp.floor_divide(b[:, 2] + F - 1, TZ)
 
     eligible = (w != 0.0) & ((rpx < 0.5) | (rpx <= RMAX_PX))
-
     keys = []
     for s in range(8):
-        sh = jnp.asarray([(s >> 2) & 1, (s >> 1) & 1, s & 1], jnp.int32)
-        t = t0 + sh[None, :]
-        valid = eligible & jnp.all((t <= t1) & (t >= 0) & (t < nt[None, :]), axis=1)
-        tid = (t[:, 0] * nty + t[:, 1]) * ntz + t[:, 2]
+        sx, sy, sz = (s >> 2) & 1, (s >> 1) & 1, s & 1
+        tx, ty, tz = t0x + sx, t0y + sy, t0z + sz
+        valid = (
+            eligible
+            & (tx <= t1x) & (ty <= t1y) & (tz <= t1z)
+            & (tx >= 0) & (ty >= 0) & (tz >= 0)
+            & (tx < ntx) & (ty < nty) & (tz < ntz)
+        )
+        tid = (tx * nty + ty) * ntz + tz
         keys.append(jnp.where(valid, tid, ntiles))
-    return jnp.stack(keys, axis=1), b
+    return jnp.stack(keys, axis=0), b
 
 
-@functools.partial(
-    jax.jit, static_argnames=("grid", "np_pad", "interpret", "subsample", "accumulate")
-)
-def _deposit_batch(pos_px, w, rpx, out_init, grid, np_pad, subsample,
-                   accumulate, interpret):
-    """Full deposit of one particle batch into the tile-major output array."""
+@functools.partial(jax.jit, static_argnames=("grid",))
+def _count_pairs(ppx, rpx, w, grid):
+    keys, _ = _pair_keys(ppx, rpx, w, grid)
+    return jnp.sum(keys < _ntiles(grid))
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "np_pad"))
+def _prep_batch(pos_px, w, rpx, grid, np_pad):
+    """Pair expansion -> multi-operand sort -> elementwise channel derivation
+    -> per-tile starts/counts/aligned offsets. No gathers anywhere."""
     gxp, gyp, gzp = _grid_pad(grid)
     ntx, nty, ntz = gxp // TX, gyp // TY, gzp // TZ
     ntiles = ntx * nty * ntz
     n = pos_px.shape[0]
 
-    keys8, b = _pair_keys(pos_px, rpx, w, grid)
-    keys = keys8.reshape(-1)  # [8N]
-    order = jnp.argsort(keys, stable=True)
-    skeys = keys[order]
+    keys8, _ = _pair_keys(pos_px, rpx, w, grid)
+    key = keys8.reshape(-1)  # [8N]
+    px = jnp.tile(pos_px[:, 0], 8)
+    py = jnp.tile(pos_px[:, 1], 8)
+    pz = jnp.tile(pos_px[:, 2], 8)
+    ww = jnp.tile(w, 8)
+    rr = jnp.tile(rpx, 8)
 
-    # per-tile counts and chunk-aligned offsets (every tile >= 1 chunk so the
-    # flush initializes even empty tiles)
-    starts = jnp.searchsorted(skeys, jnp.arange(ntiles + 1, dtype=jnp.int32))
-    cnt = jnp.diff(starts)
-    aligned = jnp.maximum((cnt + CHUNK - 1) // CHUNK * CHUNK, CHUNK)
-    aoff = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(aligned, dtype=jnp.int32)])
-    total_aligned = aoff[-1]
-
-    # destination slot d -> source pair
-    d = jnp.arange(np_pad, dtype=jnp.int32)
-    tile_d = jnp.searchsorted(aoff, d, side="right").astype(jnp.int32) - 1
-    tile_d = jnp.clip(tile_d, 0, ntiles - 1)
-    rank = d - aoff[tile_d]
-    src = starts[tile_d] + rank
-    valid_d = (rank < cnt[tile_d]) & (d < total_aligned)
-    src = jnp.where(valid_d, src, 0)
-
-    fidx = order[src]
-    pidx = fidx >> 3
-    combo = fidx & 7
-    sh = jnp.stack([(combo >> 2) & 1, (combo >> 1) & 1, combo & 1], axis=1)
-
-    p_b = b[pidx]  # [np_pad, 3]
-    t = jnp.stack(
-        [
-            jnp.floor_divide(p_b[:, 0], TX),
-            jnp.floor_divide(p_b[:, 1], TY),
-            jnp.floor_divide(p_b[:, 2], TZ),
-        ],
-        axis=1,
-    ) + sh
-
-    px = pos_px[pidx]
-    rp = rpx[pidx]
-    wp = jnp.where(valid_d, w[pidx], 0.0)
-    is_sub = rp < 0.5
-    vol = FOUR_THIRDS_PI * rp * rp * rp
-    w_norm = jnp.where(is_sub, 0.0, wp / jnp.where(is_sub, 1.0, vol))
-
-    ox = px[:, 0] - p_b[:, 0].astype(jnp.float32)
-    oy = px[:, 1] - (t[:, 1] * TY).astype(jnp.float32)
-    oz = px[:, 2] - p_b[:, 2].astype(jnp.float32)
-    # guard padded slots against NaN-producing values
-    ox = jnp.where(valid_d, ox, 4.0)
-    oy = jnp.where(valid_d, oy, 0.0)
-    oz = jnp.where(valid_d, oz, 4.0)
-    rp = jnp.where(valid_d, rp, 1.0)
-
-    row0 = (p_b[:, 0] - t[:, 0] * TX + HALO) * TY  # [np_pad]
-    bz_loc = p_b[:, 2] - t[:, 2] * TZ
-    row0 = jnp.where(valid_d, row0, 0)
-    bz_loc = jnp.where(valid_d, bz_loc, 0)
-
-    nchunks = np_pad // CHUNK
-    attrs = jnp.stack(
-        [
-            ox,
-            oy,
-            oz,
-            rp,
-            w_norm,
-            jnp.where(is_sub, wp, 0.0),
-            is_sub.astype(jnp.float32),
-            jnp.zeros_like(ox),
-        ],
-        axis=0,
-    ).reshape(NATTR, nchunks, CHUNK).transpose(1, 0, 2)
-
-    row0 = row0.reshape(nchunks, 1, CHUNK)
-    bz_loc = bz_loc.reshape(nchunks, 1, CHUNK)
-
-    # chunk -> tile windows (prev, cur, next); pad-chunks inherit the last real
-    # tile so they never re-initialize a flushed tile
-    cstart = jnp.arange(nchunks, dtype=jnp.int32) * CHUNK
-    ctile = jnp.searchsorted(aoff, cstart, side="right").astype(jnp.int32) - 1
-    ctile = jnp.clip(ctile, 0, ntiles - 1)
-    last_real = jnp.searchsorted(aoff, total_aligned - 1, side="right").astype(jnp.int32) - 1
-    ctile = jnp.where(cstart < total_aligned, ctile, last_real)
-    prev = jnp.concatenate([jnp.full(1, -1, jnp.int32), ctile[:-1]])
-    nxt = jnp.concatenate([ctile[1:], jnp.full(1, -2, jnp.int32)])
-    tilewin = jnp.stack([prev, ctile, nxt, jnp.zeros_like(ctile)], axis=1)
-    tilewin = tilewin.reshape(nchunks, 1, 4)
-
-    out = _run_deposit(
-        tilewin, row0, bz_loc, attrs, out_init,
-        nchunks=nchunks, ntiles=ntiles, subsample=subsample,
-        accumulate=accumulate, interpret=interpret,
+    key, px, py, pz, ww, rr = jax.lax.sort(
+        (key, px, py, pz, ww, rr), num_keys=1
     )
-    return out
+
+    if np_pad > key.shape[0]:  # tiny batches on many-tile grids
+        pad = np_pad - key.shape[0]
+        key = jnp.pad(key, (0, pad), constant_values=ntiles)
+        px = jnp.pad(px, (0, pad))
+        py = jnp.pad(py, (0, pad))
+        pz = jnp.pad(pz, (0, pad))
+        ww = jnp.pad(ww, (0, pad))
+        rr = jnp.pad(rr, (0, pad), constant_values=1.0)
+
+    # valid prefix fits in np_pad (caller sized it); derive channels there
+    key = jax.lax.dynamic_slice(key, (0,), (np_pad,))
+    px = jax.lax.dynamic_slice(px, (0,), (np_pad,))
+    py = jax.lax.dynamic_slice(py, (0,), (np_pad,))
+    pz = jax.lax.dynamic_slice(pz, (0,), (np_pad,))
+    ww = jax.lax.dynamic_slice(ww, (0,), (np_pad,))
+    rr = jax.lax.dynamic_slice(rr, (0,), (np_pad,))
+
+    invalid = key >= ntiles
+    tile = jnp.minimum(key, ntiles - 1)
+    ww = jnp.where(invalid, 0.0, ww)
+    rr = jnp.where(invalid, 1.0, rr)
+
+    tz = jnp.mod(tile, ntz)
+    ty = jnp.mod(jnp.floor_divide(tile, ntz), nty)
+    tx = jnp.floor_divide(tile, ntz * nty)
+
+    bx = jnp.ceil(px - (F / 2 + 0.5)).astype(jnp.int32)
+    by = jnp.ceil(py - (F / 2 + 0.5)).astype(jnp.int32)
+    bz = jnp.ceil(pz - (F / 2 + 0.5)).astype(jnp.int32)
+    ox = px - bx
+    oy = py - by
+    oz = pz - bz
+
+    is_sub = rr < 0.5
+    vol = FOUR_THIRDS_PI * rr * rr * rr
+    w_norm = jnp.where(is_sub, 0.0, ww / jnp.where(is_sub, 1.0, vol))
+    w_raw = jnp.where(is_sub, ww, 0.0)
+
+    bx_ext = bx - tx * TX + HALO
+    bz_ext = bz - tz * TZ + HALO
+    row0 = bx_ext * ZSLOTS + bz_ext
+    by_loc = by - ty * TY
+    safe_row0 = HALO * ZSLOTS + HALO
+    row0 = jnp.where(invalid, safe_row0, row0)
+    by_loc = jnp.where(invalid, 0, by_loc)
+    ox = jnp.where(invalid, 4.0, ox)
+    oy = jnp.where(invalid, 4.0, oy)
+    oz = jnp.where(invalid, 4.0, oz)
+
+    srcf = jnp.stack(
+        [ox, oy, oz, rr, w_norm, w_raw,
+         is_sub.astype(jnp.float32), jnp.zeros_like(ox)], axis=0
+    )
+    srci = jnp.stack(
+        [tile, row0, by_loc, jnp.zeros_like(tile)], axis=0
+    )
+
+    starts = jnp.searchsorted(key, jnp.arange(ntiles + 1, dtype=jnp.int32)).astype(jnp.int32)
+    cnts = jnp.diff(starts)
+    aligned = (cnts + CHUNK - 1) // CHUNK * CHUNK
+    aoff = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(aligned, dtype=jnp.int32)]
+    )
+    return srcf, srci, starts[:-1], cnts, aoff[:-1]
 
 
 @functools.partial(jax.jit, static_argnames=("grid",))
 def _unpack_tiles(out, grid):
-    """Tile-major [ntiles*CROWS, TZ] -> logical (gx, gy, gz)."""
+    """Tile-major [ntiles*CROWS, TY] -> logical (gx, gy, gz); rows=(x, z),
+    lanes=y."""
     gxp, gyp, gzp = _grid_pad(grid)
     ntx, nty, ntz = gxp // TX, gyp // TY, gzp // TZ
-    v = out.reshape(ntx, nty, ntz, TX, TY, TZ)
-    v = v.transpose(0, 3, 1, 4, 2, 5).reshape(gxp, gyp, gzp)
+    v = out.reshape(ntx, nty, ntz, TX, TZ, TY)
+    v = v.transpose(0, 3, 1, 5, 2, 4).reshape(gxp, gyp, gzp)
     return v[: grid[0], : grid[1], : grid[2]]
 
 
 def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
-                 subsample: int = 4, batch: int = 50_000_000,
+                 subsample: int = 4, batch: int = 15_000_000,
                  interpret: bool | None = None):
     """Render a 3D density field with the Pallas tile engine.
 
     Semantics identical to :func:`nbodyhpc_tpu.ops.splat.splat_volume_oracle`
-    (non-periodic / pre-augmented particles). Particles with pixel radius
-    above ``RMAX_PX`` are deposited via the oracle path and summed in.
+    (non-periodic / pre-augmented particles). Returns a device-resident
+    (gx, gy, gz) float32 array; particles with pixel radius above ``RMAX_PX``
+    are deposited via the oracle path and summed in.
     """
-    positions = np.asarray(positions, np.float32)
-    weights = np.asarray(weights, np.float32)
-    radii = np.asarray(radii, np.float32)
+    device_in = isinstance(positions, jnp.ndarray)
+    if not device_in:
+        positions = np.asarray(positions, np.float32)
+        weights = np.asarray(weights, np.float32)
+        radii = np.asarray(radii, np.float32)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    rpx_h = radii * pixels_per_unit
-    huge = (rpx_h > RMAX_PX) & (rpx_h >= 0.5)
-    n_huge = int(np.count_nonzero(huge))
-
     gx, gy, gz = (int(v) for v in grid)
     ntiles = _ntiles((gx, gy, gz))
-    out = jnp.zeros((ntiles * CROWS, TZ), jnp.float32)
+    out = jnp.full((ntiles * CROWS, TY), 0.0, jnp.float32)
 
-    small = ~huge
-    pos_s = positions[small]
-    w_s = weights[small]
-    r_s = rpx_h[small]
+    if device_in:
+        # device-resident fast path: no host round trip; radii must fit the
+        # kernel bucket (checked with one scalar readback)
+        rpx_all = radii * pixels_per_unit
+        n_huge = 0
+        if float(jnp.max(rpx_all)) > RMAX_PX:
+            raise ValueError(
+                "device-resident splat_volume requires pixel radii <= "
+                f"{RMAX_PX}; pass numpy arrays for the mixed-radius path"
+            )
+        pos_s, w_s, r_s = positions, weights, rpx_all
+    else:
+        rpx_h = radii * pixels_per_unit
+        huge = rpx_h > RMAX_PX
+        n_huge = int(np.count_nonzero(huge))
+        pos_s = positions[~huge] if n_huge else positions
+        w_s = weights[~huge] if n_huge else weights
+        r_s = rpx_h[~huge] if n_huge else rpx_h
     n = pos_s.shape[0]
 
     first = True
@@ -424,18 +546,54 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
         e = min(s + batch, n)
         if e <= s:
             break
-        ppx = jnp.asarray(pos_s[s:e] * pixels_per_unit)
-        wb = jnp.asarray(w_s[s:e])
-        rb = jnp.asarray(r_s[s:e])
-        npairs = int(_count_pairs(ppx, rb, wb, (gx, gy, gz)))
-        need = npairs + CHUNK * ntiles + CHUNK
-        # bucket to ~1.2x steps: bounded compile variants, low pad waste
-        np_pad = CHUNK
+        nb = e - s
+        nb_pad = (nb + 127) // 128 * 128
+        if device_in:
+            ppj = jnp.zeros((nb_pad, 3), jnp.float32).at[:nb].set(
+                jax.lax.dynamic_slice(pos_s, (s, 0), (nb, 3)) * pixels_per_unit
+            )
+            wj = jnp.zeros(nb_pad, jnp.float32).at[:nb].set(
+                jax.lax.dynamic_slice(w_s, (s,), (nb,))
+            )
+            rj = jnp.ones(nb_pad, jnp.float32).at[:nb].set(
+                jax.lax.dynamic_slice(r_s, (s,), (nb,))
+            )
+        else:
+            pp = np.zeros((nb_pad, 3), np.float32)
+            pp[:nb] = pos_s[s:e] * pixels_per_unit
+            wb = np.zeros(nb_pad, np.float32)
+            wb[:nb] = w_s[s:e]
+            rb = np.ones(nb_pad, np.float32)
+            rb[:nb] = r_s[s:e]
+            ppj, wj, rj = jnp.asarray(pp), jnp.asarray(wb), jnp.asarray(rb)
+
+        npairs = int(_count_pairs(ppj, rj, wj, (gx, gy, gz)))
+        need = npairs + CHUNK * ntiles + ACHUNK + CHUNK
+        np_pad = ACHUNK
         while np_pad < need:
-            np_pad = (int(np_pad * 1.2) + CHUNK) // CHUNK * CHUNK
-        out = _deposit_batch(
-            ppx, wb, rb, out, (gx, gy, gz), np_pad, subsample,
-            accumulate=not first, interpret=interpret,
+            np_pad = (int(np_pad * 11) // 10 + ACHUNK) // ACHUNK * ACHUNK
+
+        srcf, srci, starts, cnts, aoff = _prep_batch(
+            ppj, wj, rj, (gx, gy, gz), np_pad
+        )
+        dstf = jnp.zeros((NF, np_pad), jnp.float32)
+        dsti = jnp.concatenate(
+            [
+                jnp.full((1, np_pad), ntiles - 1, jnp.int32),
+                jnp.full((1, np_pad), HALO * ZSLOTS + HALO, jnp.int32),
+                jnp.zeros((2, np_pad), jnp.int32),
+            ]
+        )
+        alf, ali = _run_align(
+            starts, cnts, aoff, srcf, srci, dstf, dsti,
+            np_pad=np_pad, ntiles=ntiles, interpret=interpret,
+        )
+        nchunks = np_pad // CHUNK
+        tilei = ali.T.reshape(nchunks, CHUNK, NI).transpose(0, 2, 1)
+        attrs = alf.T.reshape(nchunks, CHUNK, NF).transpose(0, 2, 1)
+        out = _run_deposit(
+            tilei, attrs, out, nchunks=nchunks, ntiles=ntiles,
+            subsample=subsample, accumulate=not first, interpret=interpret,
         )
         first = False
 
