@@ -77,6 +77,11 @@ class Container:
 
         self.validation = bool(enable_validation_layers)
         self.device = device if device is not None else jax.devices()[0]
+        if self.validation:
+            # runtime checking, the moral analog of enabling the Vulkan
+            # validation layer: NaN propagation in any jitted computation
+            # raises instead of silently corrupting the field
+            jax.config.update("jax_debug_nans", True)
 
     def __repr__(self):
         return f"Container(device={self.device}, validation={self.validation})"

@@ -47,6 +47,22 @@ def save_particles(path: str, positions, weights, radii) -> None:
         rec.tofile(path)
 
 
+def save_field(path: str, density: np.ndarray) -> None:
+    """Persist a density field (float32 raw + .shape sidecar) — the analog of
+    the reference demo's golden binary dumps (rasterization/src/cpp/
+    main.cpp:74-83)."""
+    arr = np.ascontiguousarray(np.asarray(density), np.float32)
+    arr.tofile(path)
+    with open(path + ".shape", "w") as f:
+        f.write(" ".join(str(s) for s in arr.shape))
+
+
+def load_field(path: str) -> np.ndarray:
+    with open(path + ".shape") as f:
+        shape = tuple(int(v) for v in f.read().split())
+    return np.fromfile(path, dtype=np.float32).reshape(shape)
+
+
 def generate_uniform(n: int, seed: int = 42, boxsize: float = 1.0,
                      nthreads: int = 0) -> np.ndarray:
     """(n, 3) float32 uniform positions; native path is a threaded

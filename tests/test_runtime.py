@@ -41,3 +41,21 @@ def test_native_matches_numpy_fallback_format():
     a = runtime.generate_uniform(64, seed=1, boxsize=2.0)
     assert a.shape == (64, 3) and a.dtype == np.float32
     assert a.min() >= 0.0 and a.max() < 2.0
+
+
+def test_field_save_load_roundtrip(tmp_path):
+    rng = np.random.Generator(np.random.Philox(8))
+    field = rng.random((8, 12, 16)).astype(np.float32)
+    path = str(tmp_path / "field.bin")
+    runtime.save_field(path, field)
+    got = runtime.load_field(path)
+    np.testing.assert_array_equal(got, field)
+
+
+def test_profiling_timer():
+    from nbodyhpc_tpu.utils.profiling import timer
+
+    out = []
+    with timer("x", sink=out.append) as box:
+        pass
+    assert "seconds" in box and out and out[0].startswith("x:")
