@@ -33,16 +33,14 @@ NCAND = NRUNS * RCAP
 RFETCH = RCAP + 128  # aligned fetch width (DMA offsets must be 128-aligned)
 
 
-def _knn_kernel(runs_ref, q_ref, xyz_ref, out_ref, cand, d2s, sems, osem,
+def _knn_kernel(runs_ref, q_ref, xyz_ref, out_ref, cand, sems,
                 *, periodic: bool, box):
     # runs_ref: [1, 1, 128] SMEM i32: s0[0:36] (128-aligned), lens[36:72],
     #           shift[72:108] (s - s0)
     # q_ref: [1, QB, 8] VMEM f32: qx, qy, qz per query (lanes = channels)
-    # xyz_ref: [3, npad] ANY
-    # out_ref: [nblocks*QB, NCAND] ANY f32 (distance², inf-masked)
-    # cand: VMEM [NRUNS, 3, RFETCH]; d2s: VMEM [2][QB, RCAP]; sems: DMA[NRUNS]
-    b = pl.program_id(0)
-
+    # xyz_ref: [4, npad] ANY
+    # out_ref: [1, QB, NCAND] VMEM block (pipelined write)
+    # cand: VMEM [NRUNS, 4, RFETCH]; sems: DMA[NRUNS]
     for r in range(NRUNS):
         s0 = pl.multiple_of(runs_ref[0, 0, r], 128)
         dma = pltpu.make_async_copy(
@@ -62,12 +60,6 @@ def _knn_kernel(runs_ref, q_ref, xyz_ref, out_ref, cand, d2s, sems, osem,
         ).wait()
         ln = runs_ref[0, 0, NRUNS + r]
         shift = runs_ref[0, 0, 2 * NRUNS + r]
-        slot = r % 2
-
-        if r >= 2:  # drain the output DMA that used this slot
-            pltpu.make_async_copy(
-                d2s.at[slot], out_ref.at[b, r - 2], osem.at[slot]
-            ).wait()
 
         # roll the run's candidates to lane 0 (run starts at lane `shift`)
         rolled = pltpu.roll(cand[r], jax.lax.rem(RFETCH - shift, RFETCH), axis=1)
@@ -78,15 +70,7 @@ def _knn_kernel(runs_ref, q_ref, xyz_ref, out_ref, cand, d2s, sems, osem,
                 L = float(box[dim])
                 d = d - L * jnp.round(d * (1.0 / L))
             d2 = d2 + d * d
-        d2s[slot] = jnp.where(lane < ln, d2, jnp.inf)
-        pltpu.make_async_copy(
-            d2s.at[slot], out_ref.at[b, r], osem.at[slot]
-        ).start()
-
-    for r in (NRUNS - 2, NRUNS - 1):
-        pltpu.make_async_copy(
-            d2s.at[r % 2], out_ref.at[b, r], osem.at[r % 2]
-        ).wait()
+        out_ref[0, :, r * RCAP : (r + 1) * RCAP] = jnp.where(lane < ln, d2, jnp.inf)
 
 
 @functools.partial(
@@ -104,13 +88,12 @@ def _run_knn(runs, qblk, xyz, nblocks, periodic, box, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((nblocks, NRUNS, QB, RCAP), jnp.float32),
+        out_specs=pl.BlockSpec((1, QB, NCAND), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblocks, QB, NCAND), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((NRUNS, 4, RFETCH), jnp.float32),
-            pltpu.VMEM((2, QB, RCAP), jnp.float32),
             pltpu.SemaphoreType.DMA((NRUNS,)),
-            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
@@ -257,26 +240,40 @@ def build_blocks(tree, queries_w, qcell):
                 starts[:, ri] = np.where(use, s, 0)
                 lens[:, ri] = ln
 
-    flagged |= (lens > RCAP).any(axis=1)
-    lens = np.where(flagged[:, None], 0, lens)
+    # repack logical runs into RCAP-sized physical slots (long z-runs split
+    # across consecutive slots); more pieces than slots -> flag for the ladder
+    pieces = (lens + RCAP - 1) // RCAP
+    total = pieces.sum(axis=1)
+    flagged |= total > NRUNS
+    excl = np.cumsum(pieces, axis=1) - pieces  # exclusive prefix
+    j = np.arange(NRUNS)
+    i_of = (excl[:, :, None] <= j[None, None, :]).sum(axis=1) - 1  # [nb, 36]
+    i_of = np.clip(i_of, 0, NRUNS - 1)
+    part = j[None, :] - np.take_along_axis(excl, i_of, axis=1)
+    pstart = np.take_along_axis(starts, i_of, axis=1) + part * RCAP
+    plen = np.clip(np.take_along_axis(lens, i_of, axis=1) - part * RCAP, 0, RCAP)
+    plen = np.where((j[None, :] < total[:, None]) & (part >= 0), plen, 0)
+    plen = np.where(flagged[:, None], 0, plen)
+    pstart = np.where(plen > 0, pstart, 0)
+
     # DMA offsets must be 128-aligned: fetch from the aligned floor and tell
     # the kernel the residual lane shift
-    s0 = (starts // 128) * 128
-    shift = starts - s0
+    s0 = (pstart // 128) * 128
+    shift = pstart - s0
     s0 = np.minimum(s0, max(npad - (RCAP + 128), 0))
 
     runs = np.zeros((nblocks, 1, 128), np.int32)
     runs[:, 0, :NRUNS] = s0
-    runs[:, 0, NRUNS : 2 * NRUNS] = lens
+    runs[:, 0, NRUNS : 2 * NRUNS] = plen
     runs[:, 0, 2 * NRUNS : 3 * NRUNS] = shift
     return order, qmap, qblk, runs, flagged
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _topk_blocks(d2, k):
-    # [nb, NRUNS, QB, RCAP] -> [nb*QB, NRUNS*RCAP] then top-k ascending
+    # [nb, QB, NCAND] -> top-k ascending per query
     nb = d2.shape[0]
-    d2 = d2.transpose(0, 2, 1, 3).reshape(nb * QB, NCAND)
+    d2 = d2.reshape(nb * QB, NCAND)
     neg, sel = jax.lax.top_k(-d2, k)
     return -neg, sel
 
