@@ -86,3 +86,22 @@ def test_sharded_knn_periodic(mesh):
     dref, iref = tree.query(q, k=4)
     np.testing.assert_array_equal(i, iref)
     np.testing.assert_allclose(d, dref, rtol=1e-6)
+
+
+def test_sharded_knn_cdf_matches_host(mesh):
+    from nbodyhpc_tpu.parallel.stats import knn_cdf_sharded
+
+    pos, _, _ = _particles(4000, 9)
+    tree = KDTree(pos, boxsize=1.0)
+    radii = np.linspace(0.0, 0.2, 16)
+    r, cdf = knn_cdf_sharded(tree._tree, tree._dev, (1, 4), radii,
+                             n_queries=2048, mesh=mesh, seed=3)
+    assert cdf.shape == (2, 16)
+    assert np.all(np.diff(cdf, axis=1) >= 0)
+    assert np.all((cdf >= 0) & (cdf <= 1))
+    assert np.all(cdf[0] >= cdf[1])
+    # analytic Poisson check for k=1 in the mid-range
+    n = tree.n
+    expect = 1.0 - np.exp(-n * 4.0 / 3.0 * np.pi * radii**3)
+    mid = (cdf[0] > 0.2) & (cdf[0] < 0.8)
+    assert np.allclose(cdf[0][mid], expect[mid], atol=0.07)
