@@ -16,11 +16,10 @@ occupancy statistics specialize the jitted query program (static shapes).
 from __future__ import annotations
 
 import dataclasses
-import math
 
 import numpy as np
 
-from .points import PAD_SENTINEL, PaddedSoA, round_up, validate_points
+from .points import PAD_SENTINEL, round_up, validate_points
 
 #: Default target mean points per cell. 27 * occupancy candidates are scanned in
 #: the first query pass, so this is sized such that one ring suffices for

@@ -31,7 +31,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.cells import CellList
-from ..core.points import round_up
 
 
 class QueryStatistics(NamedTuple):
@@ -82,12 +81,12 @@ def _divisor_block(npad: int, want: int) -> int:
 
 
 def _streaming_brute_pass(xyz, n, queries_w, k, box, block: int = 2048):
-    block = _divisor_block(xyz.shape[1], min(block, xyz.shape[1]))
     """Memory-bounded exact scan over all (sorted, padded) points.
 
     State-carried top-k over point blocks; used as the guaranteed-exact final
     fallback of the escalation ladder. Returns (d2 [Q,k] ascending, slot [Q,k]).
     """
+    block = _divisor_block(xyz.shape[1], min(block, xyz.shape[1]))
     npad = xyz.shape[1]
     nblocks = npad // block
     q = queries_w  # [Q, 3]

@@ -401,6 +401,20 @@ def _count_pairs(ppx, rpx, w, grid):
     return jnp.sum(keys < _ntiles(grid))
 
 
+@functools.partial(jax.jit, static_argnames=("grid", "nbatches", "bsz"))
+def _count_pairs_batched(ppx, rpx, w, grid, nbatches, bsz):
+    """Valid-pair counts for every batch in one dispatch (one host sync)."""
+
+    def one(i):
+        p = jax.lax.dynamic_slice(ppx, (i * bsz, 0), (bsz, 3))
+        r = jax.lax.dynamic_slice(rpx, (i * bsz,), (bsz,))
+        ww = jax.lax.dynamic_slice(w, (i * bsz,), (bsz,))
+        keys, _ = _pair_keys(p, r, ww, grid)
+        return jnp.sum(keys < _ntiles(grid))
+
+    return jax.lax.map(one, jnp.arange(nbatches))
+
+
 @functools.partial(jax.jit, static_argnames=("grid", "np_pad"))
 def _prep_batch(pos_px, w, rpx, grid, np_pad):
     """Pair expansion -> multi-operand sort -> elementwise channel derivation
@@ -541,23 +555,36 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
         r_s = rpx_h[~huge] if n_huge else rpx_h
     n = pos_s.shape[0]
 
+    batch = (batch + 127) // 128 * 128
+    # size all batches up front so the main loop never blocks on the host
+    # (a per-batch count sync would bubble the device queue)
+    if device_in and n:
+        nbatches = (n + batch - 1) // batch
+        npad_all = nbatches * batch
+        pos_p = jnp.zeros((npad_all, 3), jnp.float32).at[:n].set(
+            pos_s * pixels_per_unit
+        )
+        w_p = jnp.zeros(npad_all, jnp.float32).at[:n].set(w_s)
+        r_p = jnp.ones(npad_all, jnp.float32).at[:n].set(r_s)
+        counts_all = np.asarray(
+            _count_pairs_batched(pos_p, r_p, w_p, (gx, gy, gz), nbatches, batch)
+        )
+    else:
+        counts_all = None
+
     first = True
-    for s in range(0, max(n, 1), batch):
+    for bi, s in enumerate(range(0, max(n, 1), batch)):
         e = min(s + batch, n)
         if e <= s:
             break
         nb = e - s
         nb_pad = (nb + 127) // 128 * 128
         if device_in:
-            ppj = jnp.zeros((nb_pad, 3), jnp.float32).at[:nb].set(
-                jax.lax.dynamic_slice(pos_s, (s, 0), (nb, 3)) * pixels_per_unit
-            )
-            wj = jnp.zeros(nb_pad, jnp.float32).at[:nb].set(
-                jax.lax.dynamic_slice(w_s, (s,), (nb,))
-            )
-            rj = jnp.ones(nb_pad, jnp.float32).at[:nb].set(
-                jax.lax.dynamic_slice(r_s, (s,), (nb,))
-            )
+            nb_pad = batch  # uniform shapes: one compile for all batches
+            ppj = jax.lax.dynamic_slice(pos_p, (s, 0), (batch, 3))
+            wj = jax.lax.dynamic_slice(w_p, (s,), (batch,))
+            rj = jax.lax.dynamic_slice(r_p, (s,), (batch,))
+            npairs = int(counts_all[bi])
         else:
             pp = np.zeros((nb_pad, 3), np.float32)
             pp[:nb] = pos_s[s:e] * pixels_per_unit
@@ -566,8 +593,8 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
             rb = np.ones(nb_pad, np.float32)
             rb[:nb] = r_s[s:e]
             ppj, wj, rj = jnp.asarray(pp), jnp.asarray(wb), jnp.asarray(rb)
+            npairs = int(_count_pairs(ppj, rj, wj, (gx, gy, gz)))
 
-        npairs = int(_count_pairs(ppj, rj, wj, (gx, gy, gz)))
         need = npairs + CHUNK * ntiles + ACHUNK + CHUNK
         np_pad = ACHUNK
         while np_pad < need:

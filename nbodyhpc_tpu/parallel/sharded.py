@@ -14,7 +14,6 @@ is the code path ``__graft_entry__.dryrun_multichip`` compiles.
 """
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
@@ -28,7 +27,7 @@ from ..core.points import round_up
 from ..ops import knn as _knn
 from ..ops.ghosts import augment_points_periodic
 from ..ops.splat import required_halfwidth, splat_volume_traced
-from .mesh import SLAB_AXIS, make_slab_mesh
+from .mesh import make_slab_mesh
 
 #: extra z margin (pixels) beyond the pixel radius that a splat can reach
 #: (coverage square + sub-pixel snap), mirroring the reference's cull margin.
