@@ -514,7 +514,7 @@ def _unpack_tiles(out, grid):
 
 
 def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
-                 subsample: int = 4, batch: int = 5_000_000,
+                 subsample: int = 4, batch: int = 4_000_000,
                  interpret: bool | None = None):
     """Render a 3D density field with the Pallas tile engine.
 
@@ -623,6 +623,10 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
             subsample=subsample, accumulate=not first, interpret=interpret,
         )
         first = False
+        if device_in and bi % 3 == 2:
+            # bound async queue depth: without a sync, XLA keeps several
+            # batches' sort/align transients alive simultaneously and OOMs
+            float(jnp.sum(out[:1]))
 
     vol = _unpack_tiles(out, (gx, gy, gz))
 
