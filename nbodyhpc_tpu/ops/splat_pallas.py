@@ -402,11 +402,13 @@ def _count_pairs(ppx, rpx, w, grid):
 
 
 @functools.partial(jax.jit, static_argnames=("grid", "nbatches", "bsz"))
-def _count_pairs_batched(ppx, rpx, w, grid, nbatches, bsz):
-    """Valid-pair counts for every batch in one dispatch (one host sync)."""
+def _count_pairs_batched(pos, rpx, w, ppu, grid, nbatches, bsz):
+    """Valid-pair counts for every batch in one dispatch (one host sync).
+    dynamic_slice clamps the final batch's start, so its count slightly
+    overestimates (overlap) — counts only size the padded layout."""
 
     def one(i):
-        p = jax.lax.dynamic_slice(ppx, (i * bsz, 0), (bsz, 3))
+        p = jax.lax.dynamic_slice(pos, (i * bsz, 0), (bsz, 3)) * ppu
         r = jax.lax.dynamic_slice(rpx, (i * bsz,), (bsz,))
         ww = jax.lax.dynamic_slice(w, (i * bsz,), (bsz,))
         keys, _ = _pair_keys(p, r, ww, grid)
@@ -560,14 +562,11 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
     # (a per-batch count sync would bubble the device queue)
     if device_in and n:
         nbatches = (n + batch - 1) // batch
-        npad_all = nbatches * batch
-        pos_p = jnp.zeros((npad_all, 3), jnp.float32).at[:n].set(
-            pos_s * pixels_per_unit
-        )
-        w_p = jnp.zeros(npad_all, jnp.float32).at[:n].set(w_s)
-        r_p = jnp.ones(npad_all, jnp.float32).at[:n].set(r_s)
         counts_all = np.asarray(
-            _count_pairs_batched(pos_p, r_p, w_p, (gx, gy, gz), nbatches, batch)
+            _count_pairs_batched(
+                pos_s, r_s, w_s, jnp.float32(pixels_per_unit),
+                (gx, gy, gz), nbatches, min(batch, n),
+            )
         )
     else:
         counts_all = None
@@ -580,10 +579,20 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
         nb = e - s
         nb_pad = (nb + 127) // 128 * 128
         if device_in:
-            nb_pad = batch  # uniform shapes: one compile for all batches
-            ppj = jax.lax.dynamic_slice(pos_p, (s, 0), (batch, 3))
-            wj = jax.lax.dynamic_slice(w_p, (s,), (batch,))
-            rj = jax.lax.dynamic_slice(r_p, (s,), (batch,))
+            if nb == batch:  # uniform shapes: one compile for full batches
+                ppj = jax.lax.dynamic_slice(pos_s, (s, 0), (batch, 3)) * pixels_per_unit
+                wj = jax.lax.dynamic_slice(w_s, (s,), (batch,))
+                rj = jax.lax.dynamic_slice(r_s, (s,), (batch,))
+            else:  # final partial batch, zero-padded
+                ppj = jnp.zeros((nb_pad, 3), jnp.float32).at[:nb].set(
+                    jax.lax.dynamic_slice(pos_s, (s, 0), (nb, 3)) * pixels_per_unit
+                )
+                wj = jnp.zeros(nb_pad, jnp.float32).at[:nb].set(
+                    jax.lax.dynamic_slice(w_s, (s,), (nb,))
+                )
+                rj = jnp.ones(nb_pad, jnp.float32).at[:nb].set(
+                    jax.lax.dynamic_slice(r_s, (s,), (nb,))
+                )
             npairs = int(counts_all[bi])
         else:
             pp = np.zeros((nb_pad, 3), np.float32)

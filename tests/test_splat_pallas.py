@@ -31,3 +31,21 @@ def test_pallas_matches_oracle_interpret():
     )
     want = splat_volume_oracle(pos, w, r, ppu, grid)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_multi_batch_accumulate_matches_single():
+    """The accumulate (prefetch/flush) path across particle batches must
+    reproduce the single-batch result."""
+    rng = np.random.Generator(np.random.Philox(13))
+    n = 600
+    grid = (16, 16, 16)
+    ppu = 16.0
+    pos = rng.random((n, 3)).astype(np.float32)
+    w = rng.random(n).astype(np.float32) + 0.5
+    r = ((0.6 + rng.random(n) * 2.0) / ppu).astype(np.float32)
+    one = np.asarray(splat_pallas.splat_volume(pos, w, r, ppu, grid, interpret=True))
+    multi = np.asarray(
+        splat_pallas.splat_volume(pos, w, r, ppu, grid, batch=128, interpret=True)
+    )
+    np.testing.assert_allclose(one, multi, rtol=1e-6, atol=1e-7)
