@@ -51,7 +51,7 @@ class KDTree:
         occupancy = max(2.0, float(leafsize) / 16.0)
         self._tree = build_cell_list(np.asarray(points), boxsize=boxsize,
                                      occupancy=occupancy)
-        self._dev = (
+        self._dev = self._tree.dev or (
             jnp.asarray(self._tree.xyz),
             jnp.asarray(self._tree.index),
             jnp.asarray(self._tree.offsets),

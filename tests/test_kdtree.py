@@ -196,3 +196,27 @@ def test_clustered_points_escalation():
     rdist, ridx = ref.query(queries, k=6)
     np.testing.assert_allclose(dist, rdist, rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(idx, ridx.astype(np.uint32))
+
+
+def test_device_build_matches_host_build():
+    from nbodyhpc_tpu.core.cells import build_cell_list
+
+    pts = _random_points(5000, 91)
+    th = build_cell_list(pts, device=False)
+    td = build_cell_list(pts, device=True)
+    assert td.dev is not None
+    np.testing.assert_array_equal(np.asarray(td.offsets), th.offsets)
+    np.testing.assert_array_equal(np.asarray(td.xyz)[:3, : td.n], th.xyz[:3, : th.n])
+    np.testing.assert_array_equal(np.asarray(td.index)[: td.n], th.index[: th.n])
+    assert td.max_cell_count == th.max_cell_count
+
+    # and queries agree end-to-end
+    from nbodyhpc_tpu.ops import knn
+
+    q = _random_points(200, 92)
+    rh = knn.cell_knn_query(th, tuple(map(np.asarray, (th.xyz, th.index, th.offsets))), q, 4)
+    import jax.numpy as jnp
+
+    rd = knn.cell_knn_query(td, td.dev, q, 4)
+    np.testing.assert_array_equal(rh.indices, rd.indices)
+    np.testing.assert_allclose(rh.distances, rd.distances, rtol=1e-6)
