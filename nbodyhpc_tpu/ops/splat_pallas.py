@@ -516,7 +516,7 @@ def _unpack_tiles(out, grid):
 
 
 def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
-                 subsample: int = 4, batch: int = 6_000_000,
+                 subsample: int = 4, batch: int = 4_000_000,
                  interpret: bool | None = None):
     """Render a 3D density field with the Pallas tile engine.
 
