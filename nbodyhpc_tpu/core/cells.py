@@ -9,9 +9,10 @@ and a per-cell offset table (prefix sums of counts) gives contiguous candidate
 ranges. Build is a single sort — O(N log N) like the reference's build, but it
 runs as one fused XLA/numpy pass with no recursion.
 
-Build runs eagerly on the host (numpy): like the reference's construction it is
-a one-time cost, and running it eagerly lets the measured grid shape and
-occupancy statistics specialize the jitted query program (static shapes).
+Build runs eagerly — on the device (multi-operand sort) when a TPU is
+available and the problem is large, else on the host (numpy) — and the
+measured grid shape / occupancy statistics specialize the jitted query
+program (static shapes).
 """
 from __future__ import annotations
 
@@ -72,6 +73,15 @@ class CellList:
     def ncells(self) -> int:
         return int(np.prod(self.dims))
 
+    def index_host(self) -> np.ndarray:
+        """Host copy of the slot->original-index map (cached; the device
+        build keeps ``index`` on-device to avoid an eager 4B/point transfer)."""
+        cached = getattr(self, "_index_host", None)
+        if cached is None:
+            cached = np.asarray(self.index)
+            object.__setattr__(self, "_index_host", cached)
+        return cached
+
 
 def choose_dims(n: int, extent: np.ndarray, occupancy: float) -> np.ndarray:
     """Pick cells-per-dim so mean occupancy ~= `occupancy`, proportional to extent."""
@@ -96,10 +106,10 @@ def cell_coords(points: np.ndarray, lo, inv_h, dims, periodic: bool) -> np.ndarr
 
 
 def _device_sort_build(points_f32, lo, inv_h, dims, periodic, npad, n):
-    """Device-side build core: cell ids -> multi-operand sort -> offsets via
-    unique-boundary scatter + reverse-cummin fill. Gather-free except the
-    ncells-sized boundary scatter (small). Returns (xyz (4, npad), index
-    (npad,) uint32, offsets (ncells+1,) int32, max_cell_count scalar)."""
+    """Device-side build core: cell ids -> multi-operand sort (payloads ride
+    the comparator network; no gathers) -> offsets via vectorized binary
+    search. Returns (xyz (4, npad), index (npad,) uint32, offsets
+    (ncells+1,) int32, max_cell_count scalar)."""
     import jax
     import jax.numpy as jnp
 
@@ -128,19 +138,11 @@ def _device_sort_build(points_f32, lo, inv_h, dims, periodic, npad, n):
         (ids_p, px, py, pz, idx), num_keys=1, is_stable=True
     )
 
-    # offsets: first-occurrence positions scattered into [ncells + 1], empty
-    # cells filled by a reverse cumulative min
-    pos = jnp.arange(npad, dtype=jnp.int32)
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), sid[1:] != sid[:-1]]
-    ) & (sid < ncells)
-    big = jnp.int32(npad)
-    tgt = jnp.where(first, jnp.minimum(sid, ncells), ncells)
-    offsets = jnp.full((ncells + 1,), big, jnp.int32)
-    offsets = offsets.at[tgt].min(jnp.where(first, pos, big))
-    offsets = offsets.at[ncells].set(jnp.int32(n))
-    # reverse cummin fill for empty cells
-    offsets = jnp.flip(jax.lax.cummin(jnp.flip(offsets)))
+    # offsets via vectorized binary search over the sorted ids (a scatter-based
+    # histogram serializes on duplicate indices on TPU)
+    offsets = jnp.searchsorted(
+        sid, jnp.arange(ncells + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
 
     xyz = jnp.stack([sx, sy, sz, jnp.full_like(sx, PAD_SENTINEL)])
     counts = jnp.diff(offsets)
@@ -196,11 +198,10 @@ def build_cell_list(
         xyz_d, index_d, offsets_d, mcc = _device_sort_build(
             jnp.asarray(points), lo, inv_h, dims, periodic, npad, n
         )
-        index = np.asarray(index_d)
         offsets = np.asarray(offsets_d)
         return CellList(
             xyz=xyz_d,
-            index=index,
+            index=index_d,
             offsets=offsets,
             dims=dims,
             lo=lo,

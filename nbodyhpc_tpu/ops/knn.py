@@ -382,7 +382,7 @@ def cell_knn_query(
             tree, tree_dev, queries, k, interpret=use_kernel == "force"
             and jax.default_backend() != "tpu",
         )
-        idx_host = np.asarray(tree.index)
+        idx_host = tree.index_host()
         gidx = idx_host[np.clip(slot, 0, idx_host.shape[0] - 1)]
         gidx = np.where(np.isfinite(d2), gidx, np.uint32(tree.n)).astype(np.uint32)
         dist = np.sqrt(d2)
