@@ -49,10 +49,14 @@ def main(argv=None):
     tree.query(pts[: min(4096, nq)], k=args.num_neighbors)
 
     t0 = time.perf_counter()
-    dist, idx, stats = tree.query_with_statistics(pts[:nq], k=args.num_neighbors)
+    dist, idx = tree.query(pts[:nq], k=args.num_neighbors)
     t_query = time.perf_counter() - t0
 
     self_ok = bool(np.all(idx[:, 0] == np.arange(nq, dtype=np.uint32)))
+    # work statistics sampled on a subset (stats disable the fast path)
+    _, _, stats = tree.query_with_statistics(
+        pts[: min(4096, nq)], k=args.num_neighbors
+    )
     visited = float(stats.points_visited.mean()) / len(pts) * 100.0
     print(f"query: {t_query:.3f} s -> {nq/t_query:.0f} q/s")
     print(f"self-query exact: {self_ok}")
