@@ -120,9 +120,14 @@ def build_blocks(tree, queries_w, qcell):
     cs = cid[order]
 
     # blocks cover one column *pair* each (<= 2 distinct (x, y) columns by
-    # construction); heavy pairs split into multiple QB-sized blocks
+    # construction) and a bounded z-segment (so 18 column-runs of the segment's
+    # z-union fit the NRUNS*RCAP candidate budget); heavy groups split into
+    # multiple QB-sized blocks
     colid = cs // Cz
-    pair = colid // 2
+    avg_occ = max(tree.n / max(tree.ncells, 1), 1.0)
+    zseg = int(max(1, NCAND / (18.0 * 2.0 * avg_occ) - 2))
+    czs_all = cs % Cz
+    pair = (colid // 2) * ((Cz + zseg - 1) // zseg + 1) + czs_all // zseg
     if Q:
         change = np.nonzero(np.diff(pair))[0] + 1
         pstarts = np.concatenate([[0], change]).astype(np.int64)
