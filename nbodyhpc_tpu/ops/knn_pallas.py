@@ -275,15 +275,16 @@ def build_blocks(tree, queries_w, qcell):
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _topk_blocks(d2, k):
-    # [nb, QB, NCAND] -> top-k ascending per query
+def _topk_blocks(d2, k, rows):
+    # [nb, QB, NCAND] -> top-k ascending for the real query slots only
+    # (pad slots would otherwise multiply the result transfer)
     nb = d2.shape[0]
-    d2 = d2.reshape(nb * QB, NCAND)
+    d2 = d2.reshape(nb * QB, NCAND)[rows]
     neg, sel = jax.lax.top_k(-d2, k)
     return -neg, sel
 
 
-def query_blocks(tree, tree_dev, queries, k: int, batch_blocks: int = 512,
+def query_blocks(tree, tree_dev, queries, k: int, batch_blocks: int = 1024,
                  interpret: bool = False):
     """Fast path for large batched queries on TPU.
 
@@ -316,8 +317,16 @@ def query_blocks(tree, tree_dev, queries, k: int, batch_blocks: int = 512,
     order, qmap, qblk, runs, flagged = build_blocks(tree, qw, qcell)
     nblocks = qblk.shape[0]
 
-    d2_b = np.empty((nblocks * QB, k), np.float32)
-    sel_b = np.empty((nblocks * QB, k), np.int32)
+    # per macro-batch: run kernel, top-k + pad-slot compaction on device,
+    # transfer only real rows
+    real = qmap >= 0
+    real_pos = np.nonzero(real)[0]
+    sidx_all = qmap[real]
+    d2_s = np.empty((Q, k), np.float32)
+    sel_s = np.empty((Q, k), np.int32)
+    blk_of_sorted = np.empty(Q, np.int64)
+    blk_of_sorted[sidx_all] = real_pos // QB
+
     for b0 in range(0, nblocks, batch_blocks):
         b1 = min(b0 + batch_blocks, nblocks)
         nb = b1 - b0
@@ -325,19 +334,16 @@ def query_blocks(tree, tree_dev, queries, k: int, batch_blocks: int = 512,
             jnp.asarray(runs[b0:b1]), jnp.asarray(qblk[b0:b1]), xyz,
             nblocks=nb, periodic=periodic, box=box, interpret=interpret,
         )
-        dk, sk = _topk_blocks(d2, k)
-        d2_b[b0 * QB : b1 * QB] = np.asarray(dk)
-        sel_b[b0 * QB : b1 * QB] = np.asarray(sk)
-
-    # keep only real query slots, in cell-sorted order
-    real = qmap >= 0
-    sidx = qmap[real]  # sorted-query index per kept slot
-    d2_s = np.empty((Q, k), np.float32)
-    sel_s = np.empty((Q, k), np.int32)
-    d2_s[sidx] = d2_b[real]
-    sel_s[sidx] = sel_b[real]
-    blk_of_sorted = np.empty(Q, np.int64)
-    blk_of_sorted[sidx] = np.nonzero(real)[0] // QB
+        in_range = (real_pos >= b0 * QB) & (real_pos < b1 * QB)
+        rows = real_pos[in_range] - b0 * QB
+        if rows.size == 0:
+            continue
+        nr = rows.size
+        rows_p = np.pad(rows, (0, (-nr) % 8192))  # bucketed shapes, no retrace storm
+        dk, sk = _topk_blocks(d2, k, jnp.asarray(rows_p))
+        sb = sidx_all[in_range]
+        d2_s[sb] = np.asarray(dk)[:nr]
+        sel_s[sb] = np.asarray(sk)[:nr]
 
     # candidate index -> tree slot (candidates were rolled to lane 0:
     # tree slot = s0 + shift + lane)
