@@ -37,7 +37,7 @@ def _knn_kernel(runs_ref, q_ref, xyz_ref, out_ref, cand, sems,
                 *, periodic: bool, box):
     # runs_ref: [1, 1, 128] SMEM i32: s0[0:36] (128-aligned), lens[36:72],
     #           shift[72:108] (s - s0)
-    # q_ref: [1, QB, 8] VMEM f32: qx, qy, qz per query (lanes = channels)
+    # q_ref: [1, QB, 4] VMEM f32: qx, qy, qz per query (lanes = channels)
     # xyz_ref: [4, npad] ANY
     # out_ref: [1, QB, NCAND] VMEM block (pipelined write)
     # cand: VMEM [NRUNS, 4, RFETCH]; sems: DMA[NRUNS]
@@ -84,7 +84,7 @@ def _run_knn(runs, qblk, xyz, nblocks, periodic, box, interpret):
         in_specs=[
             pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, QB, 8), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, QB, 4), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -104,7 +104,7 @@ def build_blocks(tree, queries_w, qcell):
     """Host prep (vectorized numpy): sort queries by cell, build per-block
     run tables with static slot layout run = colsel*18 + neighbor*2 + zseg.
 
-    Returns (order, qblk [nblocks, QB, 8] f32, runs [nblocks, 1, 128] i32,
+    Returns (order, qblk [nblocks, QB, 4] f32, runs [nblocks, 1, 128] i32,
     flagged [nblocks] bool).
     """
     dims = np.asarray(tree.dims).astype(np.int64)
@@ -147,8 +147,8 @@ def build_blocks(tree, queries_w, qcell):
 
     qmap = np.full(nblocks * QB, -1, np.int64)
     qmap[flat_slot] = np.arange(Q)
-    qblk = np.zeros((nblocks, QB, 8), np.float32)
-    qblk.reshape(-1, 8)[flat_slot, :3] = qs
+    qblk = np.zeros((nblocks, QB, 4), np.float32)
+    qblk.reshape(-1, 4)[flat_slot, :3] = qs
     valid_slot = (qmap >= 0).reshape(nblocks, QB)
 
     def gatherq(a, fill):
