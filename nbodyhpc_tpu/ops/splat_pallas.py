@@ -8,11 +8,14 @@ scatter are scalar-slow, so this module re-derives deposition as a fully
 gather-free sort-then-accumulate pipeline:
 
 1. **Pair expansion + multi-operand sort (XLA).** Every particle is assigned
-   to each grid *tile* its F=8 footprint window touches (<= 8, ~1.24x average
-   with this geometry). The particle channels (position, weight, radius) ride
-   along the tile-key sort as extra sort operands — XLA's sort moves payloads
-   inside its comparator network, avoiding the catastrophic cost of
-   post-sort random gathers. Tile-local attributes are then derived
+   to the grid *tile* containing its F=8 footprint window base — x/z tile
+   crossings are absorbed by the accumulator's one-sided halo (folded into
+   the neighbor tiles by a final XLA combine pass), so only a window that
+   crosses a tile boundary in y (the lane axis, which cannot halo) emits a
+   second pair (~1.05x average). The particle channels (position, weight,
+   radius) ride along the tile-key sort as extra sort operands — XLA's sort
+   moves payloads inside its comparator network, avoiding the catastrophic
+   cost of post-sort random gathers. Tile-local attributes are then derived
    elementwise from (key, position) alone.
 2. **Alignment kernel (Pallas).** Ragged per-tile runs are repacked so every
    tile owns whole 128-pair chunks, via chunked DMA copies (one contiguous
@@ -25,14 +28,17 @@ gather-free sort-then-accumulate pipeline:
    (triangle.frag:25-45) and the vertex shader's point-size / sub-pixel rules
    (triangle.vert:41-63). Each particle's y-profile is rotated into lane
    position (dynamic roll) and accumulated with eight 8-row RMWs. When the
-   chunk stream crosses a tile boundary the accumulator center is DMA'd to
-   the HBM-resident tile-major output (read-modify-write prefetch when
-   accumulating across particle batches).
+   chunk stream crosses a tile boundary the accumulator is flushed with four
+   strided DMAs (center + the three right-halo spill strips) to compact
+   HBM-resident tile-major outputs (read-modify-write prefetch when
+   accumulating across particle batches); a final XLA pass folds each
+   tile's +x/+z halo strips into its neighbors.
 
 Tile geometry: (TX, TY, TZ) = (128, 128, 64) voxels; lanes = y (the roll
 axis), accumulator rows = (x + 8-voxel halo) x (z + 8-voxel halo) =
-(144, 80) -> 11520 rows. Average tile duplication (1+7/128)^2 (1+7/64)
-~= 1.24.
+(144, 80) -> 11520 rows. The left halos only absorb windows clamped at the
+grid origin (discarded); the right halos carry +x/+z spill. Average pair
+duplication (y crossings only) 1 + 7/128 ~= 1.05.
 
 Radius support: pixel radii <= RMAX_PX = 3.0 (footprint 8^3) plus sub-pixel
 particles; larger radii run through the oracle path (splat.py) and are summed
@@ -56,14 +62,12 @@ F = 8                       # footprint window per dim
 HALO = 8                    # x/z halo rows on each side
 XSLOTS = TX + 2 * HALO      # 144
 ZSLOTS = TZ + 2 * HALO      # 80
-ROWS = XSLOTS * ZSLOTS      # 11520 accumulator rows
-CROWS = TX * TZ             # 8192 center rows per tile (x-major, z-minor)
 CHUNK = 128                 # pairs per grid step
 GROUPS = CHUNK // 16
 ACHUNK = 2048               # rows per alignment-copy DMA
 RMAX_PX = 3.0               # max pixel radius for the F=8 window
-NF = 8                      # f32 channels: ox oy oz rpx w_norm w_raw is_sub spare
-NI = 4                      # i32 channels: tile row0 by_local spare
+NF = 8                      # f32 channels: px py pz rpx w_norm w_raw is_sub spare
+NI = 4                      # i32 channels: tile bx_ext bz_ext by_local
 
 
 # ---------------------------------------------------------------------------
@@ -71,7 +75,8 @@ NI = 4                      # i32 channels: tile row0 by_local spare
 # ---------------------------------------------------------------------------
 
 
-def _deposit_kernel(tilei_ref, attrs_ref, _outin, out_ref, acc_ref, cur_ref,
+def _deposit_kernel(tilei_ref, attrs_ref, _outin, _hxin, _hzin, _hcin,
+                    out_ref, hx_ref, hz_ref, hc_ref, acc_ref, cur_ref,
                     sem_ref, *, subsample: int, accumulate: bool,
                     nchunks: int):
     c = pl.program_id(0)
@@ -82,18 +87,24 @@ def _deposit_kernel(tilei_ref, attrs_ref, _outin, out_ref, acc_ref, cur_ref,
 
     tile = tilei_ref[0, 0, 0]  # all pairs in a chunk share one tile (aligned)
 
-    def flush(t):
-        def body(x, _):
-            dma = pltpu.make_async_copy(
-                acc_ref.at[pl.ds((x + HALO) * ZSLOTS + HALO, TZ), :],
-                out_ref.at[pl.ds(t * CROWS + x * TZ, TZ), :],
-                sem_ref,
-            )
-            dma.start()
-            dma.wait()
-            return 0
+    def regions(t):
+        # (accumulator region, HBM region) pairs: center + the three right
+        # halo spill strips, folded into +x/+z neighbors by _unpack_tiles
+        return (
+            (acc_ref.at[HALO : HALO + TX, HALO : HALO + TZ, :], out_ref.at[t]),
+            (acc_ref.at[HALO + TX :, HALO : HALO + TZ, :], hx_ref.at[t]),
+            (acc_ref.at[HALO : HALO + TX, HALO + TZ :, :], hz_ref.at[t]),
+            (acc_ref.at[HALO + TX :, HALO + TZ :, :], hc_ref.at[t]),
+        )
 
-        jax.lax.fori_loop(0, TX, body, 0)
+    def flush(t):
+        dmas = [
+            pltpu.make_async_copy(a, h, sem_ref) for a, h in regions(t)
+        ]
+        for d in dmas:
+            d.start()
+        for d in dmas:
+            d.wait()
 
     @pl.when(tile != cur_ref[0])
     def _():
@@ -101,20 +112,22 @@ def _deposit_kernel(tilei_ref, attrs_ref, _outin, out_ref, acc_ref, cur_ref,
         def _():
             flush(cur_ref[0])
 
-        acc_ref[:] = jnp.zeros((ROWS, TY), jnp.float32)
         if accumulate:
-
-            def body(x, _):
-                dma = pltpu.make_async_copy(
-                    out_ref.at[pl.ds(tile * CROWS + x * TZ, TZ), :],
-                    acc_ref.at[pl.ds((x + HALO) * ZSLOTS + HALO, TZ), :],
-                    sem_ref,
-                )
-                dma.start()
-                dma.wait()
-                return 0
-
-            jax.lax.fori_loop(0, TX, body, 0)
+            dmas = [
+                pltpu.make_async_copy(h, a, sem_ref) for a, h in regions(tile)
+            ]
+            for d in dmas:
+                d.start()
+            # left halos are not persisted (they only ever hold off-grid
+            # spill from origin-clamped windows): zero before reuse
+            acc_ref[:HALO, :, :] = jnp.zeros((HALO, ZSLOTS, TY), jnp.float32)
+            acc_ref[HALO:, :HALO, :] = jnp.zeros(
+                (XSLOTS - HALO, HALO, TY), jnp.float32
+            )
+            for d in dmas:
+                d.wait()
+        else:
+            acc_ref[:] = jnp.zeros((XSLOTS, ZSLOTS, TY), jnp.float32)
         cur_ref[0] = tile
 
     lane_grp = jax.lax.broadcasted_iota(jnp.int32, (NF, 128), 1) // 8
@@ -147,26 +160,40 @@ def _deposit_kernel(tilei_ref, attrs_ref, _outin, out_ref, acc_ref, cur_ref,
                 piece, expand_t, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        ox = aexp[0:1, :]       # Px - bx, in [3.5, 4.5)
-        oy = aexp[1:2, :]       # Py - by, in [3.5, 4.5)
-        oz = aexp[2:3, :]       # Pz - bz, in [3.5, 4.5)
+        pxv = aexp[0:1, :]      # absolute particle position, pixel units
+        pyv = aexp[1:2, :]
+        pzv = aexp[2:3, :]
         rpx = aexp[3:4, :]
         w_norm = aexp[4:5, :]
         w_raw = aexp[5:6, :]
         is_sub = aexp[6:7, :] > 0.5
 
-        dx = ox - i_f           # [64, TY] corner deltas on the packed layout
-        dy = oy - yrel
-        dz = oz - z_f
+        # Window-base voxel coordinates recomputed in-kernel with the exact
+        # f32 expression _prep_batch uses for row0/by addressing (ceil(p -
+        # 4.5)), so values and addresses agree bit-for-bit. Every delta
+        # below is then a SINGLE rounding of the same real-number expression
+        # the oracle evaluates (splat.py:88-111) — carrying window-relative
+        # offsets instead (the old scheme) double-rounds and flips subcell
+        # compares at f32 boundaries.
+        bxf = jnp.ceil(pxv - (F / 2 + 0.5))
+        byf = jnp.ceil(pyv - (F / 2 + 0.5))
+        bzf = jnp.ceil(pzv - (F / 2 + 0.5))
+        vxf = bxf + i_f         # [64, TY] voxel coords of packed window slots
+        vyf = byf + yrel
+        vzf = bzf + z_f
+
+        dx = pxv - vxf          # corner deltas (splat.py:105-107)
+        dy = pyv - vyf
+        dz = pzv - vzf
         r2 = rpx * rpx
 
         # --- big-particle path (triangle.vert:41-45 + triangle.frag:25-45) --
-        zoff = dz - 0.5
+        zoff = pzv - (vzf + 0.5)
         zclip = jnp.abs(zoff) <= rpx + 1.0
         plane_r = jnp.sqrt(jnp.maximum(r2 - zoff * zoff, 0.0))
         half = jnp.ceil(plane_r) + 1.0
-        cx = 0.5 - dx
-        cy = 0.5 - dy
+        cx = (vxf + 0.5) - pxv
+        cy = (vyf + 0.5) - pyv
         cover = (cx >= -half) & (cx < half) & (cy >= -half) & (cy < half) & zclip
 
         # subcell sum, oracle association order: (ax + ay) + az < r^2, with
@@ -189,11 +216,12 @@ def _deposit_kernel(tilei_ref, attrs_ref, _outin, out_ref, acc_ref, cur_ref,
                     count = count + jnp.where(dzc2[cc] < rab, 1.0, 0.0)
         big_val = w_norm * (count * inv_s3) * cover
 
-        # --- sub-pixel path (triangle.vert:47-60) ---
+        # --- sub-pixel path (triangle.vert:47-60; splat.py:128-140) ---
         sub_val = jnp.where(
-            (i_f == jnp.floor(ox))
-            & (yrel == jnp.floor(oy))
-            & (z_f == jnp.ceil(oz) - 1.0),
+            (vxf == jnp.floor(pxv))
+            & (vyf == jnp.floor(pyv))
+            & (pzv > vzf)
+            & (pzv <= vzf + 1.0),
             w_raw,
             0.0,
         )
@@ -202,15 +230,18 @@ def _deposit_kernel(tilei_ref, attrs_ref, _outin, out_ref, acc_ref, cur_ref,
         # --- per-particle deposit: roll y-window into lane position ---
         for p in range(16):
             i = g * 16 + p
-            row0 = tilei_ref[0, 1, i]
-            by = tilei_ref[0, 2, i]
+            bxe = tilei_ref[0, 1, i]
+            bze = tilei_ref[0, 2, i]
+            by = tilei_ref[0, 3, i]
             shift = jax.lax.rem(by - 8 * p + 256, 128)
             rolled = pltpu.roll(pc, shift, axis=1)
             inwin = (lane - by).astype(jnp.uint32) < 8  # [by, by+8) ∩ [0,128)
             contrib = jnp.where(inwin, rolled, 0.0)
             for xi in range(F):
-                sl = pl.ds(row0 + xi * ZSLOTS, F)
-                acc_ref[sl, :] = acc_ref[sl, :] + contrib[xi * F : (xi + 1) * F, :]
+                sl = pl.ds(bze, F)
+                acc_ref[bxe + xi, sl, :] = (
+                    acc_ref[bxe + xi, sl, :] + contrib[xi * F : (xi + 1) * F, :]
+                )
 
     @pl.when(c == nchunks - 1)
     def _():
@@ -221,8 +252,8 @@ def _deposit_kernel(tilei_ref, attrs_ref, _outin, out_ref, acc_ref, cur_ref,
     jax.jit,
     static_argnames=("nchunks", "ntiles", "subsample", "accumulate", "interpret"),
 )
-def _run_deposit(tilei, attrs, out_init, nchunks, ntiles, subsample,
-                 accumulate, interpret):
+def _run_deposit(tilei, attrs, out_init, hx_init, hz_init, hc_init, nchunks,
+                 ntiles, subsample, accumulate, interpret):
     kernel = functools.partial(
         _deposit_kernel, subsample=subsample, accumulate=accumulate,
         nchunks=nchunks,
@@ -236,18 +267,26 @@ def _run_deposit(tilei, attrs, out_init, nchunks, ntiles, subsample,
             pl.BlockSpec((1, NF, CHUNK), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((ntiles * CROWS, TY), jnp.float32),
+        out_specs=tuple(pl.BlockSpec(memory_space=pl.ANY) for _ in range(4)),
+        out_shape=(
+            jax.ShapeDtypeStruct((ntiles, TX, TZ, TY), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles, HALO, TZ, TY), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles, TX, HALO, TY), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles, HALO, HALO, TY), jnp.float32),
+        ),
         scratch_shapes=[
-            pltpu.VMEM((ROWS, TY), jnp.float32),
+            pltpu.VMEM((XSLOTS, ZSLOTS, TY), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
-        input_output_aliases={2: 0},
+        input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(tilei, attrs, out_init)
+    )(tilei, attrs, out_init, hx_init, hz_init, hc_init)
 
 
 # ---------------------------------------------------------------------------
@@ -288,9 +327,8 @@ def _align_kernel(starts_ref, cnts_ref, aoff_ref, srcf_ref, srci_ref,
         scrf[:] = jnp.where(idx < nreal, rolled_f, 0.0)
         idxi = jax.lax.broadcasted_iota(jnp.int32, (NI, AFETCH), 1)
         chan = jax.lax.broadcasted_iota(jnp.int32, (NI, AFETCH), 0)
-        pad_i = jnp.where(
-            chan == 0, t, jnp.where(chan == 1, HALO * ZSLOTS + HALO, 0)
-        )
+        # pad channels: tile=t, bx_ext=bz_ext=HALO (safe window), by=0
+        pad_i = jnp.where(chan == 0, t, jnp.where(chan == 3, 0, HALO))
         rolled_i = pltpu.roll(scri[:], rshift, axis=1)
         scri[:] = jnp.where(idxi < nreal, rolled_i, pad_i)
         dfo = pltpu.make_async_copy(
@@ -365,34 +403,40 @@ def _ntiles(grid):
 
 
 def _pair_keys(ppx, rpx, w, grid):
-    """[8, N] tile keys (ntiles = invalid) for the tiles each footprint
-    window touches, plus the window base b = ceil(ppx - 4.5)."""
+    """[2, N] tile keys (ntiles = invalid), plus the window base
+    b = ceil(ppx - 4.5).
+
+    Slot 0 is the tile containing the (clamped) window base: x/z crossings
+    spill into the accumulator's right halo and are folded into neighbors by
+    `_unpack_tiles`; a base clamped at the grid origin lands in the left
+    halo, which the combine discards (off-grid, matching the reference's
+    clip). Slot 1 exists only when the window crosses a y tile boundary —
+    lanes cannot halo, so the y+1 tile gets its own pair (negative local
+    base; the kernel's window mask clips it to the in-tile lanes)."""
     gxp, gyp, gzp = _grid_pad(grid)
     ntx, nty, ntz = gxp // TX, gyp // TY, gzp // TZ
     ntiles = ntx * nty * ntz
 
     b = jnp.ceil(ppx - (F / 2 + 0.5)).astype(jnp.int32)  # [N, 3]
-    t0x = jnp.floor_divide(b[:, 0], TX)
-    t0y = jnp.floor_divide(b[:, 1], TY)
-    t0z = jnp.floor_divide(b[:, 2], TZ)
-    t1x = jnp.floor_divide(b[:, 0] + F - 1, TX)
-    t1y = jnp.floor_divide(b[:, 1] + F - 1, TY)
-    t1z = jnp.floor_divide(b[:, 2] + F - 1, TZ)
+    bx, by, bz = b[:, 0], b[:, 1], b[:, 2]
+    tx = jnp.floor_divide(jnp.clip(bx, 0, gxp - 1), TX)
+    ty0 = jnp.floor_divide(jnp.clip(by, 0, gyp - 1), TY)
+    tz = jnp.floor_divide(jnp.clip(bz, 0, gzp - 1), TZ)
 
-    eligible = (w != 0.0) & ((rpx < 0.5) | (rpx <= RMAX_PX))
-    keys = []
-    for s in range(8):
-        sx, sy, sz = (s >> 2) & 1, (s >> 1) & 1, s & 1
-        tx, ty, tz = t0x + sx, t0y + sy, t0z + sz
-        valid = (
-            eligible
-            & (tx <= t1x) & (ty <= t1y) & (tz <= t1z)
-            & (tx >= 0) & (ty >= 0) & (tz >= 0)
-            & (tx < ntx) & (ty < nty) & (tz < ntz)
-        )
-        tid = (tx * nty + ty) * ntz + tz
-        keys.append(jnp.where(valid, tid, ntiles))
-    return jnp.stack(keys, axis=0), b
+    eligible = (
+        (w != 0.0)
+        & ((rpx < 0.5) | (rpx <= RMAX_PX))
+        # row0 addressing requires the clamped base within the halo span;
+        # windows entirely off-grid deposit nothing anyway
+        & (bx >= -HALO) & (bx < gxp)
+        & (bz >= -HALO) & (bz < gzp)
+        & (by >= -F) & (by < gyp)
+    )
+    tid0 = (tx * nty + ty0) * ntz + tz
+    key0 = jnp.where(eligible, tid0, ntiles)
+    crosses_y = eligible & (by + F - 1 >= (ty0 + 1) * TY) & (ty0 + 1 < nty)
+    key1 = jnp.where(crosses_y, tid0 + ntz, ntiles)
+    return jnp.stack([key0, key1], axis=0), b
 
 
 @functools.partial(jax.jit, static_argnames=("grid",))
@@ -426,13 +470,13 @@ def _prep_batch(pos_px, w, rpx, grid, np_pad):
     ntiles = ntx * nty * ntz
     n = pos_px.shape[0]
 
-    keys8, _ = _pair_keys(pos_px, rpx, w, grid)
-    key = keys8.reshape(-1)  # [8N]
-    px = jnp.tile(pos_px[:, 0], 8)
-    py = jnp.tile(pos_px[:, 1], 8)
-    pz = jnp.tile(pos_px[:, 2], 8)
-    ww = jnp.tile(w, 8)
-    rr = jnp.tile(rpx, 8)
+    keys2, _ = _pair_keys(pos_px, rpx, w, grid)
+    key = keys2.reshape(-1)  # [2N]
+    px = jnp.tile(pos_px[:, 0], 2)
+    py = jnp.tile(pos_px[:, 1], 2)
+    pz = jnp.tile(pos_px[:, 2], 2)
+    ww = jnp.tile(w, 2)
+    rr = jnp.tile(rpx, 2)
 
     key, px, py, pz, ww, rr = jax.lax.sort(
         (key, px, py, pz, ww, rr), num_keys=1
@@ -467,9 +511,6 @@ def _prep_batch(pos_px, w, rpx, grid, np_pad):
     bx = jnp.ceil(px - (F / 2 + 0.5)).astype(jnp.int32)
     by = jnp.ceil(py - (F / 2 + 0.5)).astype(jnp.int32)
     bz = jnp.ceil(pz - (F / 2 + 0.5)).astype(jnp.int32)
-    ox = px - bx
-    oy = py - by
-    oz = pz - bz
 
     is_sub = rr < 0.5
     vol = FOUR_THIRDS_PI * rr * rr * rr
@@ -478,22 +519,18 @@ def _prep_batch(pos_px, w, rpx, grid, np_pad):
 
     bx_ext = bx - tx * TX + HALO
     bz_ext = bz - tz * TZ + HALO
-    row0 = bx_ext * ZSLOTS + bz_ext
     by_loc = by - ty * TY
-    safe_row0 = HALO * ZSLOTS + HALO
-    row0 = jnp.where(invalid, safe_row0, row0)
+    bx_ext = jnp.where(invalid, HALO, bx_ext)
+    bz_ext = jnp.where(invalid, HALO, bz_ext)
     by_loc = jnp.where(invalid, 0, by_loc)
-    ox = jnp.where(invalid, 4.0, ox)
-    oy = jnp.where(invalid, 4.0, oy)
-    oz = jnp.where(invalid, 4.0, oz)
+    # invalid entries keep their positions: their w_norm/w_raw are zero so
+    # they deposit nothing wherever they land
 
     srcf = jnp.stack(
-        [ox, oy, oz, rr, w_norm, w_raw,
-         is_sub.astype(jnp.float32), jnp.zeros_like(ox)], axis=0
+        [px, py, pz, rr, w_norm, w_raw,
+         is_sub.astype(jnp.float32), jnp.zeros_like(px)], axis=0
     )
-    srci = jnp.stack(
-        [tile, row0, by_loc, jnp.zeros_like(tile)], axis=0
-    )
+    srci = jnp.stack([tile, bx_ext, bz_ext, by_loc], axis=0)
 
     starts = jnp.searchsorted(key, jnp.arange(ntiles + 1, dtype=jnp.int32)).astype(jnp.int32)
     cnts = jnp.diff(starts)
@@ -505,14 +542,49 @@ def _prep_batch(pos_px, w, rpx, grid, np_pad):
 
 
 @functools.partial(jax.jit, static_argnames=("grid",))
-def _unpack_tiles(out, grid):
-    """Tile-major [ntiles*CROWS, TY] -> logical (gx, gy, gz); rows=(x, z),
-    lanes=y."""
+def _unpack_tiles(out, hx, hz, hc, grid):
+    """Tile-major center (ntiles, TX, TZ, TY) + halo spill strips -> logical
+    (gx, gy, gz); tile rows=(x, z), lanes=y.
+
+    Folds each tile's +x/+z halo strips (footprint spill, up to F-1 voxels)
+    into the adjacent tiles. Streams one x slab of tiles at a time so the
+    peak footprint is inputs + result + one slab transient (a whole-grid
+    intermediate on top of the 4 GiB inputs OOMs at 1024^3)."""
     gxp, gyp, gzp = _grid_pad(grid)
     ntx, nty, ntz = gxp // TX, gyp // TY, gzp // TZ
-    v = out.reshape(ntx, nty, ntz, TX, TZ, TY)
-    v = v.transpose(0, 3, 1, 5, 2, 4).reshape(gxp, gyp, gzp)
-    return v[: grid[0], : grid[1], : grid[2]]
+    gy, gz = int(grid[1]), int(grid[2])
+    m = nty * ntz  # tiles per x slab (tile id = (tx*nty + ty)*ntz + tz)
+
+    def body(tx, vol):
+        c = jax.lax.dynamic_slice(
+            out, (tx * m, 0, 0, 0), (m, TX, TZ, TY)
+        ).reshape(nty, ntz, TX, TZ, TY)
+        # +x spill comes from the previous slab's tiles (gated off at tx=0)
+        prev = jnp.maximum(tx - 1, 0) * m
+        gate = jnp.where(tx > 0, 1.0, 0.0).astype(jnp.float32)
+        xh = (
+            jax.lax.dynamic_slice(hx, (prev, 0, 0, 0), (m, HALO, TZ, TY))
+            * gate
+        ).reshape(nty, ntz, HALO, TZ, TY)
+        ch = (
+            jax.lax.dynamic_slice(hc, (prev, 0, 0, 0), (m, HALO, HALO, TY))
+            * gate
+        ).reshape(nty, ntz, HALO, HALO, TY)
+        zh = jax.lax.dynamic_slice(
+            hz, (tx * m, 0, 0, 0), (m, TX, HALO, TY)
+        ).reshape(nty, ntz, TX, HALO, TY)
+        c = c.at[:, :, :HALO, :, :].add(xh)
+        c = c.at[:, 1:, :, :HALO, :].add(zh[:, :-1])
+        c = c.at[:, 1:, :HALO, :HALO, :].add(ch[:, :-1])
+        slab = c.transpose(2, 0, 4, 1, 3).reshape(TX, gyp, gzp)
+        return jax.lax.dynamic_update_slice(
+            vol, slab[:, :gy, :gz], (tx * TX, 0, 0)
+        )
+
+    vol = jax.lax.fori_loop(
+        0, ntx, body, jnp.zeros((gxp, gy, gz), jnp.float32)
+    )
+    return vol[: grid[0]]
 
 
 def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
@@ -535,7 +607,10 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
 
     gx, gy, gz = (int(v) for v in grid)
     ntiles = _ntiles((gx, gy, gz))
-    out = jnp.full((ntiles * CROWS, TY), 0.0, jnp.float32)
+    out = jnp.zeros((ntiles, TX, TZ, TY), jnp.float32)
+    hx = jnp.zeros((ntiles, HALO, TZ, TY), jnp.float32)
+    hz = jnp.zeros((ntiles, TX, HALO, TY), jnp.float32)
+    hc = jnp.zeros((ntiles, HALO, HALO, TY), jnp.float32)
 
     if device_in:
         # device-resident fast path: no host round trip; radii must fit the
@@ -616,8 +691,8 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
         dsti = jnp.concatenate(
             [
                 jnp.full((1, np_pad), ntiles - 1, jnp.int32),
-                jnp.full((1, np_pad), HALO * ZSLOTS + HALO, jnp.int32),
-                jnp.zeros((2, np_pad), jnp.int32),
+                jnp.full((2, np_pad), HALO, jnp.int32),
+                jnp.zeros((1, np_pad), jnp.int32),
             ]
         )
         alf, ali = _run_align(
@@ -627,17 +702,22 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
         nchunks = np_pad // CHUNK
         tilei = ali.T.reshape(nchunks, CHUNK, NI).transpose(0, 2, 1)
         attrs = alf.T.reshape(nchunks, CHUNK, NF).transpose(0, 2, 1)
-        out = _run_deposit(
-            tilei, attrs, out, nchunks=nchunks, ntiles=ntiles,
+        out, hx, hz, hc = _run_deposit(
+            tilei, attrs, out, hx, hz, hc, nchunks=nchunks, ntiles=ntiles,
             subsample=subsample, accumulate=not first, interpret=interpret,
         )
         first = False
-        if device_in and bi % 3 == 2:
+        if device_in and bi % 2 == 1:
             # bound async queue depth: without a sync, XLA keeps several
             # batches' sort/align transients alive simultaneously and OOMs
             float(jnp.sum(out[:1]))
 
-    vol = _unpack_tiles(out, (gx, gy, gz))
+    if device_in and n:
+        # drain the batch pipeline before enqueueing the combine: the last
+        # batches' sort/align transients must be freed first, or they
+        # coexist with the combine's grid-sized buffers and OOM at 1024^3
+        float(jnp.sum(out[:1]))
+    vol = _unpack_tiles(out, hx, hz, hc, (gx, gy, gz))
 
     if n_huge:
         from .splat import splat_volume_oracle
