@@ -555,20 +555,27 @@ def _unpack_tiles(out, hx, hz, hc, grid):
     gy, gz = int(grid[1]), int(grid[2])
     m = nty * ntz  # tiles per x slab (tile id = (tx*nty + ty)*ntz + tz)
 
+    # +x spill comes from the PREVIOUS slab's tiles; rather than gating the
+    # tx=0 fold with a predicate on the loop index (jax 0.9.0's fori_loop
+    # miscompiles index comparisons: where(tx > 0, ...) evaluates true at
+    # tx=0 — verified on cpu and tpu), prepend a zero slab so slicing at
+    # tx*m always reads the right strip
+    hxp = jnp.concatenate(
+        [jnp.zeros((m,) + hx.shape[1:], hx.dtype), hx], axis=0
+    )
+    hcp = jnp.concatenate(
+        [jnp.zeros((m,) + hc.shape[1:], hc.dtype), hc], axis=0
+    )
+
     def body(tx, vol):
         c = jax.lax.dynamic_slice(
             out, (tx * m, 0, 0, 0), (m, TX, TZ, TY)
         ).reshape(nty, ntz, TX, TZ, TY)
-        # +x spill comes from the previous slab's tiles (gated off at tx=0)
-        prev = jnp.maximum(tx - 1, 0) * m
-        gate = jnp.where(tx > 0, 1.0, 0.0).astype(jnp.float32)
-        xh = (
-            jax.lax.dynamic_slice(hx, (prev, 0, 0, 0), (m, HALO, TZ, TY))
-            * gate
+        xh = jax.lax.dynamic_slice(
+            hxp, (tx * m, 0, 0, 0), (m, HALO, TZ, TY)
         ).reshape(nty, ntz, HALO, TZ, TY)
-        ch = (
-            jax.lax.dynamic_slice(hc, (prev, 0, 0, 0), (m, HALO, HALO, TY))
-            * gate
+        ch = jax.lax.dynamic_slice(
+            hcp, (tx * m, 0, 0, 0), (m, HALO, HALO, TY)
         ).reshape(nty, ntz, HALO, HALO, TY)
         zh = jax.lax.dynamic_slice(
             hz, (tx * m, 0, 0, 0), (m, TX, HALO, TY)

@@ -49,3 +49,59 @@ def test_multi_batch_accumulate_matches_single():
         splat_pallas.splat_volume(pos, w, r, ppu, grid, batch=128, interpret=True)
     )
     np.testing.assert_allclose(one, multi, rtol=1e-6, atol=1e-7)
+
+
+def test_unpack_tiles_folds_multislab():
+    """The slab-streaming combine must fold +x/+z/corner halo strips into
+    the correct neighbor tiles and drop nothing at slab 0.
+
+    Regression: jax 0.9.0's fori_loop miscompiles boolean comparisons on
+    the loop index (where(tx > 0, ...) evaluated true at tx=0), which
+    double-deposited the first slab's +x spill onto itself; the combine now
+    uses zero-padded halo buffers instead of an index-gated add."""
+    rng = np.random.Generator(np.random.Philox(9))
+    grid = (256, 256, 192)  # (2, 2, 3) tiles: every fold direction exercised
+    gxp, gyp, gzp = splat_pallas._grid_pad(grid)
+    TX, TY, TZ = splat_pallas.TX, splat_pallas.TY, splat_pallas.TZ
+    H = splat_pallas.HALO
+    ntx, nty, ntz = gxp // TX, gyp // TY, gzp // TZ
+    ntiles = ntx * nty * ntz
+    out = rng.random((ntiles, TX, TZ, TY), dtype=np.float32)
+    hx = rng.random((ntiles, H, TZ, TY), dtype=np.float32)
+    hz = rng.random((ntiles, TX, H, TY), dtype=np.float32)
+    hc = rng.random((ntiles, H, H, TY), dtype=np.float32)
+
+    got = np.asarray(splat_pallas._unpack_tiles(out, hx, hz, hc, grid))
+
+    c6 = out.reshape(ntx, nty, ntz, TX, TZ, TY).copy()
+    c6[1:, :, :, :H, :, :] += hx.reshape(ntx, nty, ntz, H, TZ, TY)[:-1]
+    c6[:, :, 1:, :, :H, :] += hz.reshape(ntx, nty, ntz, TX, H, TY)[:, :, :-1]
+    c6[1:, :, 1:, :H, :H, :] += hc.reshape(ntx, nty, ntz, H, H, TY)[:-1, :, :-1]
+    ref = c6.transpose(0, 3, 1, 5, 2, 4).reshape(gxp, gyp, gzp)[
+        : grid[0], : grid[1], : grid[2]
+    ]
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.slow
+def test_pallas_multitile_oracle_parity():
+    """End-to-end parity on a grid spanning >= 2 tiles in every axis, so
+    halo folds and the y-crossing second pair are all on the deposit path."""
+    rng = np.random.Generator(np.random.Philox(21))
+    n = 220
+    grid = (192, 160, 80)  # (2, 2, 2) tiles after padding
+    ppu = 64.0
+    box = np.array([g / ppu for g in grid], np.float32)
+    pos = (rng.random((n, 3)).astype(np.float32) * box).astype(np.float32)
+    # concentrate some particles near tile seams to hit every fold
+    seams = np.array([[128.0, 128.0, 64.0]], np.float32) / ppu
+    pos[: n // 4] = (
+        seams + (rng.random((n // 4, 3)).astype(np.float32) - 0.5) * (6.0 / ppu)
+    ).astype(np.float32)
+    w = rng.random(n).astype(np.float32) + 0.5
+    r = ((0.3 + rng.random(n) * 2.5) / ppu).astype(np.float32)
+    got = np.asarray(
+        splat_pallas.splat_volume(pos, w, r, ppu, grid, interpret=True)
+    )
+    want = splat_volume_oracle(pos, w, r, ppu, grid)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
