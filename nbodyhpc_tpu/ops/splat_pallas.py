@@ -593,7 +593,7 @@ def _unpack_tiles(out, hx, hz, hc, grid):
 
 
 def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
-                 subsample: int = 4, batch: int = 4_000_000,
+                 subsample: int = 4, batch: int = 8_000_000,
                  interpret: bool | None = None):
     """Render a 3D density field with the Pallas tile engine.
 
