@@ -28,6 +28,10 @@ QB = 128          # queries per block
 NRUNS = 36        # run slots (2 columns x 9 neighbors x 2 periodic z-splits)
 RCAP = 256        # candidates per run (128-multiple; run overflow -> flag)
 NCAND = NRUNS * RCAP
+G = 12            # column-pair pieces packed per block (occupancy: a piece
+                  # averages ~10 queries at self-query densities, so packing
+                  # ~12 pieces fills a 128-query block instead of leaving it
+                  # 92% empty — top_k and result transfer charge per ROW)
 
 
 RFETCH = RCAP + 128  # aligned fetch width (DMA offsets must be 128-aligned)
@@ -35,42 +39,62 @@ RFETCH = RCAP + 128  # aligned fetch width (DMA offsets must be 128-aligned)
 
 def _knn_kernel(runs_ref, q_ref, xyz_ref, out_ref, cand, sems,
                 *, periodic: bool, box):
-    # runs_ref: [1, 1, 128] SMEM i32: s0[0:36] (128-aligned), lens[36:72],
-    #           shift[72:108] (s - s0)
-    # q_ref: [1, QB, 4] VMEM f32: qx, qy, qz per query (lanes = channels)
+    # runs_ref: [1, G, 128] SMEM i32 per piece g: s0[0:36] (128-aligned),
+    #           lens[36:72], shift[72:108] (s - s0)
+    # q_ref: [1, QB, 4] VMEM f32: qx, qy, qz, piece id per query
     # xyz_ref: [4, npad] ANY
-    # out_ref: [1, QB, NCAND] VMEM block (pipelined write)
-    # cand: VMEM [NRUNS, 4, RFETCH]; sems: DMA[NRUNS]
-    for r in range(NRUNS):
-        s0 = pl.multiple_of(runs_ref[0, 0, r], 128)
-        dma = pltpu.make_async_copy(
-            xyz_ref.at[:, pl.ds(s0, RFETCH)], cand.at[r], sems.at[r]
-        )
-        dma.start()
+    # out_ref: [1, QB, NCAND] VMEM block (pipelined write); column slot r
+    #          holds, for each query, the distances from ITS piece's run r
+    # cand: VMEM [G*NRUNS, 4, RFETCH]; sems: DMA[G*NRUNS]
+    for g in range(G):
+        for r in range(NRUNS):
+            ln = runs_ref[0, g, NRUNS + r]
+
+            @pl.when(ln > 0)  # zero-length runs (and empty piece slots)
+            def _():          # skip the DMA entirely
+                s0 = pl.multiple_of(runs_ref[0, g, r], 128)
+                pltpu.make_async_copy(
+                    xyz_ref.at[:, pl.ds(s0, RFETCH)],
+                    cand.at[g * NRUNS + r],
+                    sems.at[g * NRUNS + r],
+                ).start()
 
     qx = q_ref[0, :, 0:1]  # [QB, 1]
     qy = q_ref[0, :, 1:2]
     qz = q_ref[0, :, 2:3]
+    qg = q_ref[0, :, 3:4]  # piece id (pad slots carry -1: match no piece)
     lane = jax.lax.broadcasted_iota(jnp.int32, (QB, RCAP), 1)
 
     for r in range(NRUNS):
-        pltpu.make_async_copy(
-            xyz_ref.at[:, pl.ds(pl.multiple_of(runs_ref[0, 0, r], 128), RFETCH)],
-            cand.at[r], sems.at[r],
-        ).wait()
-        ln = runs_ref[0, 0, NRUNS + r]
-        shift = runs_ref[0, 0, 2 * NRUNS + r]
+        acc = jnp.full((QB, RCAP), jnp.inf, jnp.float32)
+        for g in range(G):
+            ln = runs_ref[0, g, NRUNS + r]
 
-        # roll the run's candidates to lane 0 (run starts at lane `shift`)
-        rolled = pltpu.roll(cand[r], jax.lax.rem(RFETCH - shift, RFETCH), axis=1)
-        d2 = jnp.zeros((QB, RCAP), jnp.float32)
-        for dim, q in ((0, qx), (1, qy), (2, qz)):
-            d = q - rolled[dim, :RCAP][None, :]
-            if periodic:
-                L = float(box[dim])
-                d = d - L * jnp.round(d * (1.0 / L))
-            d2 = d2 + d * d
-        out_ref[0, :, r * RCAP : (r + 1) * RCAP] = jnp.where(lane < ln, d2, jnp.inf)
+            @pl.when(ln > 0)
+            def _():
+                pltpu.make_async_copy(
+                    xyz_ref.at[:, pl.ds(
+                        pl.multiple_of(runs_ref[0, g, r], 128), RFETCH)],
+                    cand.at[g * NRUNS + r],
+                    sems.at[g * NRUNS + r],
+                ).wait()
+            shift = runs_ref[0, g, 2 * NRUNS + r]
+
+            # roll the run's candidates to lane 0 (run starts at `shift`)
+            rolled = pltpu.roll(
+                cand[g * NRUNS + r], jax.lax.rem(RFETCH - shift, RFETCH),
+                axis=1,
+            )
+            d2 = jnp.zeros((QB, RCAP), jnp.float32)
+            for dim, q in ((0, qx), (1, qy), (2, qz)):
+                d = q - rolled[dim, :RCAP][None, :]
+                if periodic:
+                    L = float(box[dim])
+                    d = d - L * jnp.round(d * (1.0 / L))
+                d2 = d2 + d * d
+            val = jnp.where(lane < ln, d2, jnp.inf)
+            acc = jnp.where(qg == float(g), val, acc)
+        out_ref[0, :, r * RCAP : (r + 1) * RCAP] = acc
 
 
 @functools.partial(
@@ -82,7 +106,7 @@ def _run_knn(runs, qblk, xyz, nblocks, periodic, box, interpret):
         kernel,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, G, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, QB, 4), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -92,8 +116,8 @@ def _run_knn(runs, qblk, xyz, nblocks, periodic, box, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nblocks, QB, NCAND), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((NRUNS, 4, RFETCH), jnp.float32),
-            pltpu.SemaphoreType.DMA((NRUNS,)),
+            pltpu.VMEM((G * NRUNS, 4, RFETCH), jnp.float32),
+            pltpu.SemaphoreType.DMA((G * NRUNS,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
@@ -101,11 +125,14 @@ def _run_knn(runs, qblk, xyz, nblocks, periodic, box, interpret):
 
 
 def build_blocks(tree, queries_w, qcell):
-    """Host prep (vectorized numpy): sort queries by cell, build per-block
-    run tables with static slot layout run = colsel*18 + neighbor*2 + zseg.
+    """Host prep (vectorized numpy): sort queries by cell, build per-PIECE
+    run tables with static slot layout run = colsel*18 + neighbor*2 + zseg
+    (a piece = one column-pair/z-segment group, <= QB queries), then pack up
+    to G pieces into each physical kernel block so blocks run nearly full.
 
-    Returns (order, qblk [nblocks, QB, 4] f32, runs [nblocks, 1, 128] i32,
-    flagged [nblocks] bool).
+    Returns (order, qmap [nblocks*QB] (flat slot -> sorted query index),
+    qblk [nblocks, QB, 4] f32 (xyz + piece slot), runs [nblocks, G, 128]
+    i32, piece_of_sorted [Q], blk_of_piece, gslot, flagged [npieces] bool).
     """
     dims = np.asarray(tree.dims).astype(np.int64)
     Cx, Cy, Cz = (int(v) for v in dims)
@@ -267,21 +294,71 @@ def build_blocks(tree, queries_w, qcell):
     shift = pstart - s0
     s0 = np.minimum(s0, max(npad - (RCAP + 128), 0))
 
-    runs = np.zeros((nblocks, 1, 128), np.int32)
-    runs[:, 0, :NRUNS] = s0
-    runs[:, 0, NRUNS : 2 * NRUNS] = plen
-    runs[:, 0, 2 * NRUNS : 3 * NRUNS] = shift
-    return order, qmap, qblk, runs, flagged
+    # per-piece run rows (a "piece" = what the table machinery above calls a
+    # block: one column pair x z-segment x <= QB queries)
+    npieces = nblocks
+    prow = np.zeros((npieces, 128), np.int32)
+    prow[:, :NRUNS] = s0
+    prow[:, NRUNS : 2 * NRUNS] = plen
+    prow[:, 2 * NRUNS : 3 * NRUNS] = shift
+
+    # --- pack pieces into physical blocks (first-fit on size-desc order) ---
+    psz = valid_slot.sum(axis=1).astype(np.int64)
+    porder = np.argsort(-psz, kind="stable")
+    blk_of_piece = np.zeros(npieces, np.int64)
+    slot_base = np.zeros(npieces, np.int64)
+    gslot = np.zeros(npieces, np.int64)
+    cur_b, cur_fill, cur_n = 0, 0, 0
+    for p in porder:
+        s = int(psz[p])
+        if cur_n == G or cur_fill + s > QB:
+            cur_b += 1
+            cur_fill = 0
+            cur_n = 0
+        blk_of_piece[p] = cur_b
+        slot_base[p] = cur_fill
+        gslot[p] = cur_n
+        cur_fill += s
+        cur_n += 1
+    nb2 = cur_b + 1
+
+    runs2 = np.zeros((nb2, G, 128), np.int32)
+    runs2[blk_of_piece, gslot, :] = prow
+
+    # re-slot every query: piece p's queries keep their order, placed at
+    # [slot_base[p], slot_base[p] + size)
+    piece_of_q = blockq  # piece index per sorted query
+    # position within piece: slotq counts pad gaps too, but pieces are
+    # filled densely (slotq = j % QB over contiguous j) so slotq is dense
+    flat2 = blk_of_piece[piece_of_q] * QB + slot_base[piece_of_q] + slotq
+    qmap2 = np.full(nb2 * QB, -1, np.int64)
+    qmap2[flat2] = np.arange(Q)
+    qblk2 = np.zeros((nb2, QB, 4), np.float32)
+    qblk2[:, :, 3] = -1.0  # pad slots match no piece
+    qblk2.reshape(-1, 4)[flat2, :3] = qs
+    qblk2.reshape(-1, 4)[flat2, 3] = gslot[piece_of_q].astype(np.float32)
+
+    return order, qmap2, qblk2, runs2, piece_of_q, blk_of_piece, gslot, flagged
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _topk_blocks(d2, k, rows):
-    # [nb, QB, NCAND] -> top-k ascending for the real query slots only
-    # (pad slots would otherwise multiply the result transfer)
+def _topk_blocks(d2, k):
+    # [nb, QB, NCAND] -> top-k ascending for every slot; blocks run nearly
+    # full after piece packing, so selecting real rows first (a gather over
+    # HBM) costs more than the ~10% of pad rows it would save. Row-chunked
+    # with lax.map: one monolithic top_k materializes value+index sort
+    # buffers rivaling the 5 GiB distance block and OOMs at macro scale.
     nb = d2.shape[0]
-    d2 = d2.reshape(nb * QB, NCAND)[rows]
-    neg, sel = jax.lax.top_k(-d2, k)
-    return -neg, sel
+    rows = nb * QB
+    flat = d2.reshape(rows, NCAND)
+    ch = min(16384, rows)  # rows is a power-of-two multiple of QB
+
+    def one(chunk):
+        neg, sel = jax.lax.top_k(-chunk, k)
+        return -neg, sel
+
+    dk, sk = jax.lax.map(one, flat.reshape(-1, ch, NCAND))
+    return dk.reshape(rows, k), sk.reshape(rows, k)
 
 
 def query_blocks(tree, tree_dev, queries, k: int, batch_blocks: int = 1024,
@@ -314,43 +391,63 @@ def query_blocks(tree, tree_dev, queries, k: int, batch_blocks: int = 1024,
     else:
         qcell = np.clip(qcell, 0, dims[None, :] - 1)
 
-    order, qmap, qblk, runs, flagged = build_blocks(tree, qw, qcell)
+    (order, qmap, qblk, runs, piece_of_q, blk_of_piece, gslot,
+     flagged) = build_blocks(tree, qw, qcell)
     nblocks = qblk.shape[0]
 
-    # per macro-batch: run kernel, top-k + pad-slot compaction on device,
-    # transfer only real rows
-    real = qmap >= 0
-    real_pos = np.nonzero(real)[0]
-    sidx_all = qmap[real]
+    # pad to a power-of-two bucket (capped at batch_blocks): a handful of
+    # kernel/top-k shapes ever compile, and empty pad blocks (all lens
+    # zero) cost only masked VPU work
+    bucket = 1
+    while bucket < min(nblocks, batch_blocks):
+        bucket *= 2
+    nb_pad = (nblocks + bucket - 1) // bucket * bucket
+    if nb_pad > nblocks:
+        runs = np.concatenate(
+            [runs, np.zeros((nb_pad - nblocks, G, 128), np.int32)]
+        )
+        qpad = np.zeros((nb_pad - nblocks, QB, 4), np.float32)
+        qpad[:, :, 3] = -1.0
+        qblk = np.concatenate([qblk, qpad])
+
     d2_s = np.empty((Q, k), np.float32)
     sel_s = np.empty((Q, k), np.int32)
-    blk_of_sorted = np.empty(Q, np.int64)
-    blk_of_sorted[sidx_all] = real_pos // QB
 
-    for b0 in range(0, nblocks, batch_blocks):
-        b1 = min(b0 + batch_blocks, nblocks)
-        nb = b1 - b0
+    def drain(b0, b1, dk, sk):
+        sl = qmap[b0 * QB : b1 * QB]
+        sl = sl[: max(min(nblocks, b1) - b0, 0) * QB]
+        real = sl >= 0
+        if not real.any():
+            return
+        d2_s[sl[real]] = np.asarray(dk)[: sl.size][real]
+        sel_s[sl[real]] = np.asarray(sk)[: sl.size][real]
+
+    msize = min(batch_blocks, nb_pad)
+    pending = None
+    for b0 in range(0, nb_pad, msize):
+        b1 = b0 + msize
         d2 = _run_knn(
             jnp.asarray(runs[b0:b1]), jnp.asarray(qblk[b0:b1]), xyz,
-            nblocks=nb, periodic=periodic, box=box, interpret=interpret,
+            nblocks=msize, periodic=periodic, box=box,
+            interpret=interpret,
         )
-        in_range = (real_pos >= b0 * QB) & (real_pos < b1 * QB)
-        rows = real_pos[in_range] - b0 * QB
-        if rows.size == 0:
-            continue
-        nr = rows.size
-        rows_p = np.pad(rows, (0, (-nr) % 8192))  # bucketed shapes, no retrace storm
-        dk, sk = _topk_blocks(d2, k, jnp.asarray(rows_p))
-        sb = sidx_all[in_range]
-        d2_s[sb] = np.asarray(dk)[:nr]
-        sel_s[sb] = np.asarray(sk)[:nr]
+        dk, sk = _topk_blocks(d2, k)
+        # drain the PREVIOUS macro only after this one is enqueued: the
+        # blocking host transfer then overlaps the device compute
+        if pending is not None:
+            drain(*pending)
+        pending = (b0, b1, dk, sk)
+    if pending is not None:
+        drain(*pending)
 
     # candidate index -> tree slot (candidates were rolled to lane 0:
-    # tree slot = s0 + shift + lane)
+    # tree slot = s0 + shift + lane); runs are per (block, piece slot)
+    blk_of_sorted = blk_of_piece[piece_of_q]
+    g_of_sorted = gslot[piece_of_q]
     r_of = sel_s // RCAP
     slot = (
-        runs[blk_of_sorted[:, None], 0, r_of]
-        + runs[blk_of_sorted[:, None], 0, 2 * NRUNS + r_of]
+        runs[blk_of_sorted[:, None], g_of_sorted[:, None], r_of]
+        + runs[blk_of_sorted[:, None], g_of_sorted[:, None], 2 * NRUNS + r_of]
         + (sel_s % RCAP)
     )
 
@@ -379,7 +476,7 @@ def query_blocks(tree, tree_dev, queries, k: int, batch_blocks: int = 1024,
     full_cover = all(3 >= int(dims[d]) for d in range(3))
     kth2 = d2_s[:, -1].astype(np.float64)
     conv = np.ones(Q, bool) if full_cover else kth2 < db * db
-    conv &= ~flagged[blk_of_sorted]
+    conv &= ~flagged[piece_of_q]
 
     # back to caller order
     inv = np.empty(Q, np.int64)
