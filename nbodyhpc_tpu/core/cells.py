@@ -138,10 +138,12 @@ def _device_sort_build(points_f32, lo, inv_h, dims, periodic, npad, n):
         (ids_p, px, py, pz, idx), num_keys=1, is_stable=True
     )
 
-    # offsets via vectorized binary search over the sorted ids (a scatter-based
-    # histogram serializes on duplicate indices on TPU)
+    # offsets via searchsorted over the sorted ids (a scatter-based histogram
+    # serializes on duplicate indices on TPU). method="sort" rides the TPU
+    # sort network instead of per-query binary search: 34 ms vs 618 ms at
+    # 1e7 points / 1.25e6 cells (measured 2026-08-16, one v5e chip)
     offsets = jnp.searchsorted(
-        sid, jnp.arange(ncells + 1, dtype=jnp.int32)
+        sid, jnp.arange(ncells + 1, dtype=jnp.int32), method="sort"
     ).astype(jnp.int32)
 
     xyz = jnp.stack([sx, sy, sz, jnp.full_like(sx, PAD_SENTINEL)])
