@@ -7,15 +7,16 @@ draw loop streams z-culled vertex ranges through up to 8 hardware queues
 scatter are scalar-slow, so this module re-derives deposition as a fully
 gather-free sort-then-accumulate pipeline:
 
-1. **Pair expansion + multi-operand sort (XLA).** Every particle is assigned
-   to the grid *tile* containing its F=8 footprint window base — x/z tile
-   crossings are absorbed by the accumulator's one-sided halo (folded into
-   the neighbor tiles by a final XLA combine pass), so only a window that
-   crosses a tile boundary in y (the lane axis, which cannot halo) emits a
-   second pair (~1.05x average). The particle channels (position, weight,
-   radius) ride along the tile-key sort as extra sort operands — XLA's sort
-   moves payloads inside its comparator network, avoiding the catastrophic
-   cost of post-sort random gathers. Tile-local attributes are then derived
+1. **Tile assignment + multi-operand sort (XLA).** Every particle is
+   assigned to the ONE grid tile containing its F=8 footprint window base —
+   x/z tile crossings are absorbed by the accumulator's one-sided row halo,
+   and y crossings by reserving the top 8 of the 128 lanes as an in-tile
+   y halo (tiles cover YTILE=120 y voxels), so no particle is ever
+   duplicated. All spill is folded into neighbor tiles by a final XLA
+   combine pass. The particle channels (position, weight, radius) ride
+   along the tile-key sort as extra sort operands — XLA's sort moves
+   payloads inside its comparator network, avoiding the catastrophic cost
+   of post-sort random gathers. Tile-local attributes are then derived
    elementwise from (key, position) alone.
 2. **Alignment kernel (Pallas).** Ragged per-tile runs are repacked so every
    tile owns whole 128-pair chunks, via chunked DMA copies (one contiguous
@@ -34,11 +35,13 @@ gather-free sort-then-accumulate pipeline:
    accumulating across particle batches); a final XLA pass folds each
    tile's +x/+z halo strips into its neighbors.
 
-Tile geometry: (TX, TY, TZ) = (128, 128, 64) voxels; lanes = y (the roll
-axis), accumulator rows = (x + 8-voxel halo) x (z + 8-voxel halo) =
-(144, 80) -> 11520 rows. The left halos only absorb windows clamped at the
-grid origin (discarded); the right halos carry +x/+z spill. Average pair
-duplication (y crossings only) 1 + 7/128 ~= 1.05.
+Tile geometry: (TX, YTILE, TZ) = (128, 120, 64) voxels; lanes = y (the
+roll axis): 120 tile voxels + 8 y-halo lanes, so a window based at
+by_local <= 119 never wraps. Accumulator rows = (x + 8-voxel halo) x
+(z + 8-voxel halo) = (144, 80) -> 11520 rows. The left halos only absorb
+windows clamped at the grid origin (discarded); the right row halos carry
++x/+z spill and lanes [120, 128) carry +y spill (including the x/z-halo
+corners, which ride the same flush buffers).
 
 Radius support: pixel radii <= RMAX_PX = 3.0 (footprint 8^3) plus sub-pixel
 particles; larger radii run through the oracle path (splat.py) and are summed
@@ -57,7 +60,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .splat import FOUR_THIRDS_PI
 
 # --- static geometry ---
-TX, TY, TZ = 128, 128, 64   # tile shape in voxels; y is the lane axis
+TX, TY, TZ = 128, 128, 64   # accumulator block shape; y is the lane axis
+YTILE = 120                 # y voxels per tile; lanes [120, 128) = y halo
 F = 8                       # footprint window per dim
 HALO = 8                    # x/z halo rows on each side
 XSLOTS = TX + 2 * HALO      # 144
@@ -85,7 +89,7 @@ def _deposit_kernel(tilei_ref, attrs_ref, _outin, _hxin, _hzin, _hcin,
     def _():
         cur_ref[0] = jnp.int32(-1)
 
-    tile = tilei_ref[0, 0, 0]  # all pairs in a chunk share one tile (aligned)
+    tile = tilei_ref[0, 0]  # all pairs in a chunk share one tile (aligned)
 
     def regions(t):
         # (accumulator region, HBM region) pairs: center + the three right
@@ -149,7 +153,7 @@ def _deposit_kernel(tilei_ref, attrs_ref, _outin, _hxin, _hzin, _hcin,
         # exact f32 lane expansion via bf16x3 one-hot matmul (MXU truncates
         # inputs to bf16; three exact pieces reconstruct in the f32
         # accumulator — see .claude/skills/verify/SKILL.md gotchas)
-        a16 = attrs_ref[0, :, g * 16 : (g + 1) * 16]  # [NF, 16]
+        a16 = attrs_ref[:, g * 16 : (g + 1) * 16]  # [NF, 16]
         p1 = a16.astype(jnp.bfloat16).astype(jnp.float32)
         r1 = a16 - p1
         p2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
@@ -230,9 +234,9 @@ def _deposit_kernel(tilei_ref, attrs_ref, _outin, _hxin, _hzin, _hcin,
         # --- per-particle deposit: roll y-window into lane position ---
         for p in range(16):
             i = g * 16 + p
-            bxe = tilei_ref[0, 1, i]
-            bze = tilei_ref[0, 2, i]
-            by = tilei_ref[0, 3, i]
+            bxe = tilei_ref[1, i]
+            bze = tilei_ref[2, i]
+            by = tilei_ref[3, i]
             shift = jax.lax.rem(by - 8 * p + 256, 128)
             rolled = pltpu.roll(pc, shift, axis=1)
             inwin = (lane - by).astype(jnp.uint32) < 8  # [by, by+8) ∩ [0,128)
@@ -260,9 +264,11 @@ def _run_deposit(tilei, attrs, out_init, hx_init, hz_init, hc_init, nchunks,
         kernel,
         grid=(nchunks,),
         in_specs=[
-            pl.BlockSpec((1, NI, CHUNK), lambda c: (c, 0, 0),
+            # the aligned (NI/NF, np_pad) streams are read column-chunked
+            # directly: no host-visible transpose pass is needed
+            pl.BlockSpec((NI, CHUNK), lambda c: (0, c),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, NF, CHUNK), lambda c: (c, 0, 0),
+            pl.BlockSpec((NF, CHUNK), lambda c: (0, c),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -390,35 +396,34 @@ def _grid_pad(g):
     gx, gy, gz = g
     return (
         (gx + TX - 1) // TX * TX,
-        (gy + TY - 1) // TY * TY,
+        (gy + YTILE - 1) // YTILE * YTILE,
         (gz + TZ - 1) // TZ * TZ,
     )
 
 
 def _ntiles(grid):
     gxp, gyp, gzp = _grid_pad(grid)
-    return (gxp // TX) * (gyp // TY) * (gzp // TZ)
+    return (gxp // TX) * (gyp // YTILE) * (gzp // TZ)
 
 
 def _pair_keys(ppx, rpx, w, grid):
-    """[2, N] tile keys (ntiles = invalid), plus the window base
+    """[N] tile keys (ntiles = invalid), plus the window base
     b = ceil(ppx - 4.5).
 
-    Slot 0 is the tile containing the (clamped) window base: x/z crossings
-    spill into the accumulator's right halo and are folded into neighbors by
-    `_unpack_tiles`; a base clamped at the grid origin lands in the left
-    halo, which the combine discards (off-grid, matching the reference's
-    clip). Slot 1 exists only when the window crosses a y tile boundary —
-    lanes cannot halo, so the y+1 tile gets its own pair (negative local
-    base; the kernel's window mask clips it to the in-tile lanes)."""
+    Each particle belongs to exactly ONE tile — the one containing its
+    (clamped) window base. x/z crossings spill into the accumulator's right
+    row halo; y crossings spill into the 8 y-halo lanes above YTILE. All
+    spill is folded into neighbors by `_unpack_tiles`. A base clamped at
+    the grid origin lands in the left row halo (or negative lanes), which
+    is discarded (off-grid, matching the reference's clip)."""
     gxp, gyp, gzp = _grid_pad(grid)
-    ntx, nty, ntz = gxp // TX, gyp // TY, gzp // TZ
+    ntx, nty, ntz = gxp // TX, gyp // YTILE, gzp // TZ
     ntiles = ntx * nty * ntz
 
     b = jnp.ceil(ppx - (F / 2 + 0.5)).astype(jnp.int32)  # [N, 3]
     bx, by, bz = b[:, 0], b[:, 1], b[:, 2]
     tx = jnp.floor_divide(jnp.clip(bx, 0, gxp - 1), TX)
-    ty0 = jnp.floor_divide(jnp.clip(by, 0, gyp - 1), TY)
+    ty0 = jnp.floor_divide(jnp.clip(by, 0, gyp - 1), YTILE)
     tz = jnp.floor_divide(jnp.clip(bz, 0, gzp - 1), TZ)
 
     eligible = (
@@ -432,9 +437,7 @@ def _pair_keys(ppx, rpx, w, grid):
     )
     tid0 = (tx * nty + ty0) * ntz + tz
     key0 = jnp.where(eligible, tid0, ntiles)
-    crosses_y = eligible & (by + F - 1 >= (ty0 + 1) * TY) & (ty0 + 1 < nty)
-    key1 = jnp.where(crosses_y, tid0 + ntz, ntiles)
-    return jnp.stack([key0, key1], axis=0), b
+    return key0, b
 
 
 @functools.partial(jax.jit, static_argnames=("grid",))
@@ -464,17 +467,16 @@ def _prep_batch(pos_px, w, rpx, grid, np_pad):
     """Pair expansion -> multi-operand sort -> elementwise channel derivation
     -> per-tile starts/counts/aligned offsets. No gathers anywhere."""
     gxp, gyp, gzp = _grid_pad(grid)
-    ntx, nty, ntz = gxp // TX, gyp // TY, gzp // TZ
+    ntx, nty, ntz = gxp // TX, gyp // YTILE, gzp // TZ
     ntiles = ntx * nty * ntz
     n = pos_px.shape[0]
 
-    keys2, _ = _pair_keys(pos_px, rpx, w, grid)
-    key = keys2.reshape(-1)  # [2N]
-    px = jnp.tile(pos_px[:, 0], 2)
-    py = jnp.tile(pos_px[:, 1], 2)
-    pz = jnp.tile(pos_px[:, 2], 2)
-    ww = jnp.tile(w, 2)
-    rr = jnp.tile(rpx, 2)
+    key, _ = _pair_keys(pos_px, rpx, w, grid)  # [N]: one tile per particle
+    px = pos_px[:, 0]
+    py = pos_px[:, 1]
+    pz = pos_px[:, 2]
+    ww = w
+    rr = rpx
 
     key, px, py, pz, ww, rr = jax.lax.sort(
         (key, px, py, pz, ww, rr), num_keys=1
@@ -517,7 +519,7 @@ def _prep_batch(pos_px, w, rpx, grid, np_pad):
 
     bx_ext = bx - tx * TX + HALO
     bz_ext = bz - tz * TZ + HALO
-    by_loc = by - ty * TY
+    by_loc = by - ty * YTILE
     bx_ext = jnp.where(invalid, HALO, bx_ext)
     bz_ext = jnp.where(invalid, HALO, bz_ext)
     by_loc = jnp.where(invalid, 0, by_loc)
@@ -545,11 +547,13 @@ def _unpack_tiles(out, hx, hz, hc, grid):
     (gx, gy, gz); tile rows=(x, z), lanes=y.
 
     Folds each tile's +x/+z halo strips (footprint spill, up to F-1 voxels)
-    into the adjacent tiles. Streams one x slab of tiles at a time so the
-    peak footprint is inputs + result + one slab transient (a whole-grid
-    intermediate on top of the 4 GiB inputs OOMs at 1024^3)."""
+    and its +y halo LANES (TY - YTILE lanes above the tile's y extent,
+    including those of the x/z strips) into the adjacent tiles. Streams one
+    x slab of tiles at a time so the peak footprint is inputs + result +
+    one slab transient (a whole-grid intermediate on top of the 4 GiB
+    inputs OOMs at 1024^3)."""
     gxp, gyp, gzp = _grid_pad(grid)
-    ntx, nty, ntz = gxp // TX, gyp // TY, gzp // TZ
+    ntx, nty, ntz = gxp // TX, gyp // YTILE, gzp // TZ
     gy, gz = int(grid[1]), int(grid[2])
     m = nty * ntz  # tiles per x slab (tile id = (tx*nty + ty)*ntz + tz)
 
@@ -581,7 +585,12 @@ def _unpack_tiles(out, hx, hz, hc, grid):
         c = c.at[:, :, :HALO, :, :].add(xh)
         c = c.at[:, 1:, :, :HALO, :].add(zh[:, :-1])
         c = c.at[:, 1:, :HALO, :HALO, :].add(ch[:, :-1])
-        slab = c.transpose(2, 0, 4, 1, 3).reshape(TX, gyp, gzp)
+        # +y spill rides lanes [YTILE, TY) of every buffer; folding it
+        # AFTER the x/z folds also routes the x/z-corner y-spill correctly
+        c = c.at[1:, :, :, :, : TY - YTILE].add(c[:-1, :, :, :, YTILE:])
+        slab = c[..., :YTILE].transpose(2, 0, 4, 1, 3).reshape(
+            TX, gyp, gzp
+        )
         return jax.lax.dynamic_update_slice(
             vol, slab[:, :gy, :gz], (tx * TX, 0, 0)
         )
@@ -673,7 +682,6 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
                 rj = jnp.ones(nb_pad, jnp.float32).at[:nb].set(
                     jax.lax.dynamic_slice(r_s, (s,), (nb,))
                 )
-            npairs = int(counts_all[bi])
         else:
             pp = np.zeros((nb_pad, 3), np.float32)
             pp[:nb] = pos_s[s:e] * pixels_per_unit
@@ -684,10 +692,20 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
             ppj, wj, rj = jnp.asarray(pp), jnp.asarray(wb), jnp.asarray(rb)
             npairs = int(_count_pairs(ppj, rj, wj, (gx, gy, gz)))
 
-        need = npairs + CHUNK * ntiles + ACHUNK + CHUNK
-        np_pad = ACHUNK
-        while np_pad < need:
-            np_pad = (int(np_pad * 11) // 10 + ACHUNK) // ACHUNK * ACHUNK
+        if device_in:
+            # one tight shape shared by every full batch of this call: sized
+            # from the max pair count across batches (counts are known up
+            # front), avoiding both the ~5-10% geometric-bucket slack and
+            # per-batch recompiles
+            need = int(counts_all.max()) + CHUNK * ntiles + ACHUNK + CHUNK
+            np_pad = (need + ACHUNK - 1) // ACHUNK * ACHUNK
+        else:
+            # host path: geometric buckets bound the number of compiled
+            # shapes across varying per-batch counts
+            need = npairs + CHUNK * ntiles + ACHUNK + CHUNK
+            np_pad = ACHUNK
+            while np_pad < need:
+                np_pad = (int(np_pad * 11) // 10 + ACHUNK) // ACHUNK * ACHUNK
 
         srcf, srci, starts, cnts, aoff = _prep_batch(
             ppj, wj, rj, (gx, gy, gz), np_pad
@@ -705,13 +723,8 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
             np_pad=np_pad, ntiles=ntiles, interpret=interpret,
         )
         nchunks = np_pad // CHUNK
-        # chunk the aligned streams by permuting MAJOR dims only (the lane
-        # dim stays 128-wide; a flat .T transposes to a width-NI minor and
-        # costs ~86 ms/batch on TPU)
-        tilei = ali.reshape(NI, nchunks, CHUNK).transpose(1, 0, 2)
-        attrs = alf.reshape(NF, nchunks, CHUNK).transpose(1, 0, 2)
         out, hx, hz, hc = _run_deposit(
-            tilei, attrs, out, hx, hz, hc, nchunks=nchunks, ntiles=ntiles,
+            ali, alf, out, hx, hz, hc, nchunks=nchunks, ntiles=ntiles,
             subsample=subsample, accumulate=not first, interpret=interpret,
         )
         first = False

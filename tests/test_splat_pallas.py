@@ -52,19 +52,21 @@ def test_multi_batch_accumulate_matches_single():
 
 
 def test_unpack_tiles_folds_multislab():
-    """The slab-streaming combine must fold +x/+z/corner halo strips into
-    the correct neighbor tiles and drop nothing at slab 0.
+    """The slab-streaming combine must fold +x/+z/corner halo strips and
+    the +y halo lanes into the correct neighbor tiles and drop nothing at
+    slab 0.
 
     Regression: jax 0.9.0's fori_loop miscompiles boolean comparisons on
     the loop index (where(tx > 0, ...) evaluated true at tx=0), which
     double-deposited the first slab's +x spill onto itself; the combine now
     uses zero-padded halo buffers instead of an index-gated add."""
     rng = np.random.Generator(np.random.Philox(9))
-    grid = (256, 256, 192)  # (2, 2, 3) tiles: every fold direction exercised
+    grid = (256, 250, 192)  # (2, 3, 3) tiles: every fold direction exercised
     gxp, gyp, gzp = splat_pallas._grid_pad(grid)
     TX, TY, TZ = splat_pallas.TX, splat_pallas.TY, splat_pallas.TZ
+    YT = splat_pallas.YTILE
     H = splat_pallas.HALO
-    ntx, nty, ntz = gxp // TX, gyp // TY, gzp // TZ
+    ntx, nty, ntz = gxp // TX, gyp // YT, gzp // TZ
     ntiles = ntx * nty * ntz
     out = rng.random((ntiles, TX, TZ, TY), dtype=np.float32)
     hx = rng.random((ntiles, H, TZ, TY), dtype=np.float32)
@@ -77,7 +79,8 @@ def test_unpack_tiles_folds_multislab():
     c6[1:, :, :, :H, :, :] += hx.reshape(ntx, nty, ntz, H, TZ, TY)[:-1]
     c6[:, :, 1:, :, :H, :] += hz.reshape(ntx, nty, ntz, TX, H, TY)[:, :, :-1]
     c6[1:, :, 1:, :H, :H, :] += hc.reshape(ntx, nty, ntz, H, H, TY)[:-1, :, :-1]
-    ref = c6.transpose(0, 3, 1, 5, 2, 4).reshape(gxp, gyp, gzp)[
+    c6[:, 1:, :, :, :, : TY - YT] += c6[:, :-1, :, :, :, YT:]
+    ref = c6[..., :YT].transpose(0, 3, 1, 5, 2, 4).reshape(gxp, gyp, gzp)[
         : grid[0], : grid[1], : grid[2]
     ]
     np.testing.assert_array_equal(got, ref)
