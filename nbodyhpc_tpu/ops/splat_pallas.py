@@ -43,13 +43,18 @@ windows clamped at the grid origin (discarded); the right row halos carry
 +x/+z spill and lanes [120, 128) carry +y spill (including the x/z-halo
 corners, which ride the same flush buffers).
 
-Radius support: pixel radii <= RMAX_PX = 3.0 (footprint 8^3) plus sub-pixel
-particles; larger radii run through the oracle path (splat.py) and are summed
-in (see ``splat_volume``).
+Radius support: two kernel buckets partition the radius axis — G8 (8^3
+window, sub-pixel + radii <= 3 px, 16 particles per lane-packed group) and
+G16 (16^3 window, radii in (3, 7] px, 8 particles per group, YTILE=112 and
+16-wide halos). Each bucket runs the same sort->align->deposit pipeline with
+its own tile geometry and the fields are summed; radii > 7 px run through
+the oracle path (splat.py) and are summed in (see ``splat_volume``). This is
+the radius-bucketing strategy SURVEY.md §7.3 plans for variable footprints.
 """
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -61,17 +66,48 @@ from .splat import FOUR_THIRDS_PI
 
 # --- static geometry ---
 TX, TY, TZ = 128, 128, 64   # accumulator block shape; y is the lane axis
-YTILE = 120                 # y voxels per tile; lanes [120, 128) = y halo
-F = 8                       # footprint window per dim
-HALO = 8                    # x/z halo rows on each side
-XSLOTS = TX + 2 * HALO      # 144
-ZSLOTS = TZ + 2 * HALO      # 80
 CHUNK = 256                 # pairs per grid step
-GROUPS = CHUNK // 16
 ACHUNK = 2048               # rows per alignment-copy DMA
-RMAX_PX = 3.0               # max pixel radius for the F=8 window
 NF = 8                      # f32 channels: px py pz rpx w_norm w_raw is_sub spare
 NI = 4                      # i32 channels: tile bx_ext bz_ext by_local
+
+
+class _Geom(NamedTuple):
+    """Radius-bucket geometry: footprint window F per dim, y voxels per
+    tile (lanes [YTILE, 128) = in-tile y halo), x/z halo row width, and the
+    pixel-radius interval (RMIN, RMAX] this bucket deposits."""
+
+    F: int
+    YTILE: int
+    HALO: int
+    RMIN: float
+    RMAX: float
+
+    @property
+    def P(self):  # particles per lane-packed group (128 lanes / F y-slots)
+        return 128 // self.F
+
+    @property
+    def XSLOTS(self):
+        return TX + 2 * self.HALO
+
+    @property
+    def ZSLOTS(self):
+        return TZ + 2 * self.HALO
+
+
+# bucket 1: sub-pixel + radii <= 3 px (8^3 window, 16 particles per group)
+G8 = _Geom(F=8, YTILE=120, HALO=8, RMIN=-1.0, RMAX=3.0)
+# bucket 2: radii in (3, 7] px (16^3 window, 8 particles per group)
+G16 = _Geom(F=16, YTILE=112, HALO=16, RMIN=3.0, RMAX=7.0)
+
+F = G8.F                    # compat aliases (tests, docs)
+YTILE = G8.YTILE
+HALO = G8.HALO
+XSLOTS = G8.XSLOTS
+ZSLOTS = G8.ZSLOTS
+GROUPS = CHUNK // 16
+RMAX_PX = G8.RMAX           # fast-bucket bound; device path accepts G16.RMAX
 
 
 # ---------------------------------------------------------------------------
@@ -82,7 +118,11 @@ NI = 4                      # i32 channels: tile bx_ext bz_ext by_local
 def _deposit_kernel(tilei_ref, attrs_ref, _outin, _hxin, _hzin, _hcin,
                     out_ref, hx_ref, hz_ref, hc_ref, acc_ref, cur_ref,
                     sem_ref, *, subsample: int, accumulate: bool,
-                    nchunks: int):
+                    nchunks: int, geom: _Geom, interpret: bool):
+    F, HALO = geom.F, geom.HALO
+    XSLOTS, ZSLOTS = geom.XSLOTS, geom.ZSLOTS
+    P = geom.P            # particles per lane-packed group
+    NR = F * F            # accumulator rows covered by one window (x, z)
     c = pl.program_id(0)
 
     @pl.when(c == 0)
@@ -134,36 +174,44 @@ def _deposit_kernel(tilei_ref, attrs_ref, _outin, _hxin, _hzin, _hcin,
             acc_ref[:] = jnp.zeros((XSLOTS, ZSLOTS, TY), jnp.float32)
         cur_ref[0] = tile
 
-    lane_grp = jax.lax.broadcasted_iota(jnp.int32, (NF, 128), 1) // 8
     expand_t = (
-        jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1) // 8
-        == jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
+        jax.lax.broadcasted_iota(jnp.int32, (P, 128), 1) // F
+        == jax.lax.broadcasted_iota(jnp.int32, (P, 128), 0)
     ).astype(jnp.float32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (64, TY), 1)
-    irow = jax.lax.broadcasted_iota(jnp.int32, (64, TY), 0) // F   # x offset
-    zrow = jax.lax.broadcasted_iota(jnp.int32, (64, TY), 0) % F    # z offset
-    yrel = (lane % 8).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (NR, TY), 1)
+    irow = jax.lax.broadcasted_iota(jnp.int32, (NR, TY), 0) // F   # x offset
+    zrow = jax.lax.broadcasted_iota(jnp.int32, (NR, TY), 0) % F    # z offset
+    yrel = (lane % F).astype(jnp.float32)
     i_f = irow.astype(jnp.float32)
     z_f = zrow.astype(jnp.float32)
     S = subsample
     u = [(a + 0.5) / S for a in range(S)]
     inv_s3 = 1.0 / float(S**3)
 
-    for g in range(GROUPS):
-        # exact f32 lane expansion via bf16x3 one-hot matmul (MXU truncates
-        # inputs to bf16; three exact pieces reconstruct in the f32
-        # accumulator — see .claude/skills/verify/SKILL.md gotchas)
-        a16 = attrs_ref[:, g * 16 : (g + 1) * 16]  # [NF, 16]
-        p1 = a16.astype(jnp.bfloat16).astype(jnp.float32)
-        r1 = a16 - p1
-        p2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
-        p3 = r1 - p2
-        aexp = jnp.zeros((NF, 128), jnp.float32)
-        for piece in (p1, p2, p3):
-            aexp = aexp + jax.lax.dot_general(
-                piece, expand_t, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+    for g in range(CHUNK // P):
+        a16 = attrs_ref[:, g * P : (g + 1) * P]  # [NF, P]
+        if interpret:
+            # the interpreter emulates the MXU's bf16 input truncation, and
+            # XLA's algebraic simplifier may merge the three piece-dots into
+            # one dot(p1+p2+p3, E) — collapsing the bf16x3 reconstruction to
+            # a single bf16 rounding. Interpret mode therefore expands lanes
+            # directly; Mosaic compiles the dots as written, so the real
+            # TPU path below stays bit-exact (verified on device).
+            aexp = jnp.repeat(a16, F, axis=1)
+        else:
+            # exact f32 lane expansion via bf16x3 one-hot matmul (MXU
+            # truncates inputs to bf16; three exact pieces reconstruct in
+            # the f32 accumulator — see .claude/skills/verify/SKILL.md)
+            p1 = a16.astype(jnp.bfloat16).astype(jnp.float32)
+            r1 = a16 - p1
+            p2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
+            p3 = r1 - p2
+            aexp = jnp.zeros((NF, 128), jnp.float32)
+            for piece in (p1, p2, p3):
+                aexp = aexp + jax.lax.dot_general(
+                    piece, expand_t, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
         pxv = aexp[0:1, :]      # absolute particle position, pixel units
         pyv = aexp[1:2, :]
         pzv = aexp[2:3, :]
@@ -246,14 +294,14 @@ def _deposit_kernel(tilei_ref, attrs_ref, _outin, _hxin, _hzin, _hcin,
         pc = jnp.where(is_sub, sub_val, big_val)  # [64, TY] packed
 
         # --- per-particle deposit: roll y-window into lane position ---
-        for p in range(16):
-            i = g * 16 + p
+        for p in range(P):
+            i = g * P + p
             bxe = tilei_ref[1, i]
             bze = tilei_ref[2, i]
             by = tilei_ref[3, i]
-            shift = jax.lax.rem(by - 8 * p + 256, 128)
+            shift = jax.lax.rem(by - F * p + 256, 128)
             rolled = pltpu.roll(pc, shift, axis=1)
-            inwin = (lane - by).astype(jnp.uint32) < 8  # [by, by+8) ∩ [0,128)
+            inwin = (lane - by).astype(jnp.uint32) < F  # [by, by+F) ∩ [0,128)
             contrib = jnp.where(inwin, rolled, 0.0)
             sx = pl.ds(bxe, F)
             sz = pl.ds(bze, F)
@@ -266,13 +314,16 @@ def _deposit_kernel(tilei_ref, attrs_ref, _outin, _hxin, _hzin, _hcin,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nchunks", "ntiles", "subsample", "accumulate", "interpret"),
+    static_argnames=(
+        "nchunks", "ntiles", "subsample", "accumulate", "interpret", "geom",
+    ),
 )
 def _run_deposit(tilei, attrs, out_init, hx_init, hz_init, hc_init, nchunks,
-                 ntiles, subsample, accumulate, interpret):
+                 ntiles, subsample, accumulate, interpret, geom=G8):
+    HALO = geom.HALO
     kernel = functools.partial(
         _deposit_kernel, subsample=subsample, accumulate=accumulate,
-        nchunks=nchunks,
+        nchunks=nchunks, geom=geom, interpret=interpret,
     )
     return pl.pallas_call(
         kernel,
@@ -297,7 +348,7 @@ def _run_deposit(tilei, attrs, out_init, hx_init, hz_init, hc_init, nchunks,
             jax.ShapeDtypeStruct((ntiles, HALO, HALO, TY), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((XSLOTS, ZSLOTS, TY), jnp.float32),
+            pltpu.VMEM((geom.XSLOTS, geom.ZSLOTS, TY), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
@@ -317,7 +368,7 @@ AFETCH = ACHUNK + 128  # aligned staging width
 
 def _align_kernel(starts_ref, cnts_ref, aoff_ref, srcf_ref, srci_ref,
                   _dstf_in, _dsti_in, dstf_ref, dsti_ref, scrf, scri,
-                  semf, semi):
+                  semf, semi, *, halo: int):
     t = pl.program_id(0)
     s = starts_ref[t]
     cnt = cnts_ref[t]
@@ -345,8 +396,8 @@ def _align_kernel(starts_ref, cnts_ref, aoff_ref, srcf_ref, srci_ref,
         scrf[:] = jnp.where(idx < nreal, rolled_f, 0.0)
         idxi = jax.lax.broadcasted_iota(jnp.int32, (NI, AFETCH), 1)
         chan = jax.lax.broadcasted_iota(jnp.int32, (NI, AFETCH), 0)
-        # pad channels: tile=t, bx_ext=bz_ext=HALO (safe window), by=0
-        pad_i = jnp.where(chan == 0, t, jnp.where(chan == 3, 0, HALO))
+        # pad channels: tile=t, bx_ext=bz_ext=halo (safe window), by=0
+        pad_i = jnp.where(chan == 0, t, jnp.where(chan == 3, 0, halo))
         rolled_i = pltpu.roll(scri[:], rshift, axis=1)
         scri[:] = jnp.where(idxi < nreal, rolled_i, pad_i)
         dfo = pltpu.make_async_copy(
@@ -366,11 +417,13 @@ def _align_kernel(starts_ref, cnts_ref, aoff_ref, srcf_ref, srci_ref,
     jax.lax.fori_loop(0, jnp.maximum(nchunks, 1), copy, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("np_pad", "ntiles", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("np_pad", "ntiles", "interpret", "geom")
+)
 def _run_align(starts, cnts, aoff, srcf, srci, dstf_init, dsti_init,
-               np_pad, ntiles, interpret):
+               np_pad, ntiles, interpret, geom=G8):
     return pl.pallas_call(
-        _align_kernel,
+        functools.partial(_align_kernel, halo=geom.HALO),
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -406,43 +459,51 @@ def _run_align(starts, cnts, aoff, srcf, srci, dstf_init, dsti_init,
 # ---------------------------------------------------------------------------
 
 
-def _grid_pad(g):
+def _grid_pad(g, geom=G8):
     gx, gy, gz = g
+    yt = geom.YTILE
     return (
         (gx + TX - 1) // TX * TX,
-        (gy + YTILE - 1) // YTILE * YTILE,
+        (gy + yt - 1) // yt * yt,
         (gz + TZ - 1) // TZ * TZ,
     )
 
 
-def _ntiles(grid):
-    gxp, gyp, gzp = _grid_pad(grid)
-    return (gxp // TX) * (gyp // YTILE) * (gzp // TZ)
+def _ntiles(grid, geom=G8):
+    gxp, gyp, gzp = _grid_pad(grid, geom)
+    return (gxp // TX) * (gyp // geom.YTILE) * (gzp // TZ)
 
 
-def _pair_keys(ppx, rpx, w, grid):
+def _pair_keys(ppx, rpx, w, grid, geom=G8):
     """[N] tile keys (ntiles = invalid), plus the window base
-    b = ceil(ppx - 4.5).
+    b = ceil(ppx - (F/2 + 0.5)).
 
     Each particle belongs to exactly ONE tile — the one containing its
     (clamped) window base. x/z crossings spill into the accumulator's right
-    row halo; y crossings spill into the 8 y-halo lanes above YTILE. All
-    spill is folded into neighbors by `_unpack_tiles`. A base clamped at
-    the grid origin lands in the left row halo (or negative lanes), which
-    is discarded (off-grid, matching the reference's clip)."""
-    gxp, gyp, gzp = _grid_pad(grid)
-    ntx, nty, ntz = gxp // TX, gyp // YTILE, gzp // TZ
+    row halo; y crossings spill into the TY - YTILE y-halo lanes above
+    YTILE. All spill is folded into neighbors by `_unpack_tiles`. A base
+    clamped at the grid origin lands in the left row halo (or negative
+    lanes), which is discarded (off-grid, matching the reference's clip).
+    Only radii in the bucket's (RMIN, RMAX] interval (plus sub-pixel
+    particles for the base bucket) are eligible — the radius buckets
+    partition the particle set exactly."""
+    F, HALO, YT = geom.F, geom.HALO, geom.YTILE
+    gxp, gyp, gzp = _grid_pad(grid, geom)
+    ntx, nty, ntz = gxp // TX, gyp // YT, gzp // TZ
     ntiles = ntx * nty * ntz
 
     b = jnp.ceil(ppx - (F / 2 + 0.5)).astype(jnp.int32)  # [N, 3]
     bx, by, bz = b[:, 0], b[:, 1], b[:, 2]
     tx = jnp.floor_divide(jnp.clip(bx, 0, gxp - 1), TX)
-    ty0 = jnp.floor_divide(jnp.clip(by, 0, gyp - 1), YTILE)
+    ty0 = jnp.floor_divide(jnp.clip(by, 0, gyp - 1), YT)
     tz = jnp.floor_divide(jnp.clip(bz, 0, gzp - 1), TZ)
 
+    in_bucket = (rpx > geom.RMIN) & (rpx <= geom.RMAX)
+    if geom.RMIN < 0.5:
+        in_bucket = in_bucket | (rpx < 0.5)  # sub-pixel rides the base bucket
     eligible = (
         (w != 0.0)
-        & ((rpx < 0.5) | (rpx <= RMAX_PX))
+        & in_bucket
         # row0 addressing requires the clamped base within the halo span;
         # windows entirely off-grid deposit nothing anyway
         & (bx >= -HALO) & (bx < gxp)
@@ -454,22 +515,23 @@ def _pair_keys(ppx, rpx, w, grid):
     return key0, b
 
 
-@functools.partial(jax.jit, static_argnames=("grid",))
-def _count_pairs(ppx, rpx, w, grid):
-    keys, _ = _pair_keys(ppx, rpx, w, grid)
-    return jnp.sum(keys < _ntiles(grid))
+@functools.partial(jax.jit, static_argnames=("grid", "geom"))
+def _count_pairs(ppx, rpx, w, grid, geom=G8):
+    keys, _ = _pair_keys(ppx, rpx, w, grid, geom)
+    return jnp.sum(keys < _ntiles(grid, geom))
 
 
-@functools.partial(jax.jit, static_argnames=("grid", "np_pad"))
-def _prep_batch(pos_px, w, rpx, grid, np_pad):
+@functools.partial(jax.jit, static_argnames=("grid", "np_pad", "geom"))
+def _prep_batch(pos_px, w, rpx, grid, np_pad, geom=G8):
     """Pair expansion -> multi-operand sort -> elementwise channel derivation
     -> per-tile starts/counts/aligned offsets. No gathers anywhere."""
-    gxp, gyp, gzp = _grid_pad(grid)
+    F, HALO, YTILE = geom.F, geom.HALO, geom.YTILE
+    gxp, gyp, gzp = _grid_pad(grid, geom)
     ntx, nty, ntz = gxp // TX, gyp // YTILE, gzp // TZ
     ntiles = ntx * nty * ntz
     n = pos_px.shape[0]
 
-    key, _ = _pair_keys(pos_px, rpx, w, grid)  # [N]: one tile per particle
+    key, _ = _pair_keys(pos_px, rpx, w, grid, geom)  # one tile per particle
     px = pos_px[:, 0]
     py = pos_px[:, 1]
     pz = pos_px[:, 2]
@@ -539,8 +601,8 @@ def _prep_batch(pos_px, w, rpx, grid, np_pad):
     return srcf, srci, starts[:-1], cnts, aoff[:-1]
 
 
-@functools.partial(jax.jit, static_argnames=("grid",))
-def _unpack_tiles(out, hx, hz, hc, grid):
+@functools.partial(jax.jit, static_argnames=("grid", "geom"))
+def _unpack_tiles(out, hx, hz, hc, grid, vol0=None, geom=G8):
     """Tile-major center (ntiles, TX, TZ, TY) + halo spill strips -> logical
     (gx, gy, gz); tile rows=(x, z), lanes=y.
 
@@ -549,8 +611,10 @@ def _unpack_tiles(out, hx, hz, hc, grid):
     including those of the x/z strips) into the adjacent tiles. Streams one
     x slab of tiles at a time so the peak footprint is inputs + result +
     one slab transient (a whole-grid intermediate on top of the 4 GiB
-    inputs OOMs at 1024^3)."""
-    gxp, gyp, gzp = _grid_pad(grid)
+    inputs OOMs at 1024^3). When ``vol0`` is given, the unpacked field is
+    accumulated onto it (used to sum the radius buckets)."""
+    HALO, YTILE = geom.HALO, geom.YTILE
+    gxp, gyp, gzp = _grid_pad(grid, geom)
     ntx, nty, ntz = gxp // TX, gyp // YTILE, gzp // TZ
     gy, gz = int(grid[1]), int(grid[2])
     m = nty * ntz  # tiles per x slab (tile id = (tx*nty + ty)*ntz + tz)
@@ -588,14 +652,21 @@ def _unpack_tiles(out, hx, hz, hc, grid):
         c = c.at[1:, :, :, :, : TY - YTILE].add(c[:-1, :, :, :, YTILE:])
         slab = c[..., :YTILE].transpose(2, 0, 4, 1, 3).reshape(
             TX, gyp, gzp
-        )
-        return jax.lax.dynamic_update_slice(
-            vol, slab[:, :gy, :gz], (tx * TX, 0, 0)
-        )
+        )[:, :gy, :gz]
+        if vol0 is not None:
+            slab = slab + jax.lax.dynamic_slice(
+                vol, (tx * TX, 0, 0), (TX, gy, gz)
+            )
+        return jax.lax.dynamic_update_slice(vol, slab, (tx * TX, 0, 0))
 
-    vol = jax.lax.fori_loop(
-        0, ntx, body, jnp.zeros((gxp, gy, gz), jnp.float32)
-    )
+    if vol0 is None:
+        init = jnp.zeros((gxp, gy, gz), jnp.float32)
+    else:
+        gx = int(grid[0])
+        init = vol0 if gxp == gx else jnp.concatenate(
+            [vol0, jnp.zeros((gxp - gx, gy, gz), jnp.float32)], axis=0
+        )
+    vol = jax.lax.fori_loop(0, ntx, body, init)
     return vol[: grid[0]]
 
 
@@ -606,8 +677,13 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
 
     Semantics identical to :func:`nbodyhpc_tpu.ops.splat.splat_volume_oracle`
     (non-periodic / pre-augmented particles). Returns a device-resident
-    (gx, gy, gz) float32 array; particles with pixel radius above ``RMAX_PX``
-    are deposited via the oracle path and summed in.
+    (gx, gy, gz) float32 array. Radii route to the 8^3 kernel bucket
+    (<= 3 px), the 16^3 bucket ((3, 7] px), or the oracle path (> 7 px,
+    numpy inputs only — the device-resident path raises above 7 px).
+    On the numpy path the 16^3 bucket runs on its own physical subset; on
+    the device path both buckets stream the full arrays and route by key
+    (so a pure <=3 px workload pays nothing, but a mixed one pays a second
+    full sort pass — pre-split by radius on host for large mixed sets).
     """
     device_in = isinstance(positions, jnp.ndarray)
     if not device_in:
@@ -618,113 +694,143 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
         interpret = jax.default_backend() != "tpu"
 
     gx, gy, gz = (int(v) for v in grid)
-    ntiles = _ntiles((gx, gy, gz))
-    out = jnp.zeros((ntiles, TX, TZ, TY), jnp.float32)
-    hx = jnp.zeros((ntiles, HALO, TZ, TY), jnp.float32)
-    hz = jnp.zeros((ntiles, TX, HALO, TY), jnp.float32)
-    hc = jnp.zeros((ntiles, HALO, HALO, TY), jnp.float32)
 
     if device_in:
         # device-resident fast path: no host round trip; radii must fit the
-        # kernel bucket (checked with one scalar readback)
+        # kernel buckets (checked with one scalar readback)
         rpx_all = radii * pixels_per_unit
         n_huge = 0
-        if float(jnp.max(rpx_all)) > RMAX_PX:
+        max_rpx = float(jnp.max(rpx_all)) if positions.shape[0] else 0.0
+        if max_rpx > G16.RMAX:
             raise ValueError(
                 "device-resident splat_volume requires pixel radii <= "
-                f"{RMAX_PX}; pass numpy arrays for the mixed-radius path"
+                f"{G16.RMAX}; pass numpy arrays for the mixed-radius path"
             )
         pos_s, w_s, r_s = positions, weights, rpx_all
+        pos_mid, w_mid, r_mid = pos_s, w_s, r_s  # routed by bucket keys
+        need_mid = max_rpx > G8.RMAX
     else:
         rpx_h = radii * pixels_per_unit
-        huge = rpx_h > RMAX_PX
+        huge = rpx_h > G16.RMAX
         n_huge = int(np.count_nonzero(huge))
-        pos_s = positions[~huge] if n_huge else positions
-        w_s = weights[~huge] if n_huge else weights
-        r_s = rpx_h[~huge] if n_huge else rpx_h
-    n = pos_s.shape[0]
+        keep = ~huge if n_huge else slice(None)
+        pos_k, w_k, r_k = positions[keep], weights[keep], rpx_h[keep]
+        # the 16^3 bucket runs on its own (usually small) subset so its
+        # batches stay cheap; the base bucket sees the rest
+        mid = (r_k > G8.RMAX)
+        n_mid = int(np.count_nonzero(mid))
+        need_mid = n_mid > 0
+        if need_mid:
+            pos_mid, w_mid, r_mid = pos_k[mid], w_k[mid], r_k[mid]
+            pos_s, w_s, r_s = pos_k[~mid], w_k[~mid], r_k[~mid]
+        else:
+            pos_s, w_s, r_s = pos_k, w_k, r_k
 
     batch = (batch + 127) // 128 * 128
 
-    first = True
-    for bi, s in enumerate(range(0, max(n, 1), batch)):
-        e = min(s + batch, n)
-        if e <= s:
-            break
-        nb = e - s
-        nb_pad = (nb + 127) // 128 * 128
-        if device_in:
-            if nb == batch:  # uniform shapes: one compile for full batches
-                ppj = jax.lax.dynamic_slice(pos_s, (s, 0), (batch, 3)) * pixels_per_unit
-                wj = jax.lax.dynamic_slice(w_s, (s,), (batch,))
-                rj = jax.lax.dynamic_slice(r_s, (s,), (batch,))
-            else:  # final partial batch, zero-padded
-                ppj = jnp.zeros((nb_pad, 3), jnp.float32).at[:nb].set(
-                    jax.lax.dynamic_slice(pos_s, (s, 0), (nb, 3)) * pixels_per_unit
-                )
-                wj = jnp.zeros(nb_pad, jnp.float32).at[:nb].set(
-                    jax.lax.dynamic_slice(w_s, (s,), (nb,))
-                )
-                rj = jnp.ones(nb_pad, jnp.float32).at[:nb].set(
-                    jax.lax.dynamic_slice(r_s, (s,), (nb,))
-                )
-        else:
-            pp = np.zeros((nb_pad, 3), np.float32)
-            pp[:nb] = pos_s[s:e] * pixels_per_unit
-            wb = np.zeros(nb_pad, np.float32)
-            wb[:nb] = w_s[s:e]
-            rb = np.ones(nb_pad, np.float32)
-            rb[:nb] = r_s[s:e]
-            ppj, wj, rj = jnp.asarray(pp), jnp.asarray(wb), jnp.asarray(rb)
-            npairs = int(_count_pairs(ppj, rj, wj, (gx, gy, gz)))
+    def run_bucket(geom, p_in, w_in, r_in, vol0):
+        ntiles = _ntiles((gx, gy, gz), geom)
+        out = jnp.zeros((ntiles, TX, TZ, TY), jnp.float32)
+        hx = jnp.zeros((ntiles, geom.HALO, TZ, TY), jnp.float32)
+        hz = jnp.zeros((ntiles, TX, geom.HALO, TY), jnp.float32)
+        hc = jnp.zeros((ntiles, geom.HALO, geom.HALO, TY), jnp.float32)
+        n = p_in.shape[0]
 
-        if device_in:
-            # valid pairs <= nb_pad always (1-slot assignment: each particle
-            # emits at most one pair), so the stream is sized directly from
-            # the batch size — no counting pass, no host sync, and one
-            # compiled shape shared by every full batch
-            need = nb_pad + CHUNK * ntiles + ACHUNK + CHUNK
-            np_pad = (need + ACHUNK - 1) // ACHUNK * ACHUNK
-        else:
-            # host path: geometric buckets bound the number of compiled
-            # shapes across varying per-batch counts
-            need = npairs + CHUNK * ntiles + ACHUNK + CHUNK
-            np_pad = ACHUNK
-            while np_pad < need:
-                np_pad = (int(np_pad * 11) // 10 + ACHUNK) // ACHUNK * ACHUNK
+        first = True
+        for bi, s in enumerate(range(0, max(n, 1), batch)):
+            e = min(s + batch, n)
+            if e <= s:
+                break
+            nb = e - s
+            nb_pad = (nb + 127) // 128 * 128
+            if device_in:
+                if nb == batch:  # uniform shapes: one compile, full batches
+                    ppj = jax.lax.dynamic_slice(
+                        p_in, (s, 0), (batch, 3)) * pixels_per_unit
+                    wj = jax.lax.dynamic_slice(w_in, (s,), (batch,))
+                    rj = jax.lax.dynamic_slice(r_in, (s,), (batch,))
+                else:  # final partial batch, zero-padded
+                    ppj = jnp.zeros((nb_pad, 3), jnp.float32).at[:nb].set(
+                        jax.lax.dynamic_slice(
+                            p_in, (s, 0), (nb, 3)) * pixels_per_unit
+                    )
+                    wj = jnp.zeros(nb_pad, jnp.float32).at[:nb].set(
+                        jax.lax.dynamic_slice(w_in, (s,), (nb,))
+                    )
+                    rj = jnp.ones(nb_pad, jnp.float32).at[:nb].set(
+                        jax.lax.dynamic_slice(r_in, (s,), (nb,))
+                    )
+            else:
+                pp = np.zeros((nb_pad, 3), np.float32)
+                pp[:nb] = p_in[s:e] * pixels_per_unit
+                wb = np.zeros(nb_pad, np.float32)
+                wb[:nb] = w_in[s:e]
+                rb = np.ones(nb_pad, np.float32)
+                rb[:nb] = r_in[s:e]
+                ppj, wj, rj = jnp.asarray(pp), jnp.asarray(wb), jnp.asarray(rb)
+                npairs = int(
+                    _count_pairs(ppj, rj, wj, (gx, gy, gz), geom)
+                )
 
-        srcf, srci, starts, cnts, aoff = _prep_batch(
-            ppj, wj, rj, (gx, gy, gz), np_pad
-        )
-        dstf = jnp.zeros((NF, np_pad), jnp.float32)
-        dsti = jnp.concatenate(
-            [
-                jnp.full((1, np_pad), ntiles - 1, jnp.int32),
-                jnp.full((2, np_pad), HALO, jnp.int32),
-                jnp.zeros((1, np_pad), jnp.int32),
-            ]
-        )
-        alf, ali = _run_align(
-            starts, cnts, aoff, srcf, srci, dstf, dsti,
-            np_pad=np_pad, ntiles=ntiles, interpret=interpret,
-        )
-        nchunks = np_pad // CHUNK
-        out, hx, hz, hc = _run_deposit(
-            ali, alf, out, hx, hz, hc, nchunks=nchunks, ntiles=ntiles,
-            subsample=subsample, accumulate=not first, interpret=interpret,
-        )
-        first = False
-        if device_in and bi % 2 == 1:
-            # bound async queue depth: without a sync, XLA keeps several
-            # batches' sort/align transients alive simultaneously and OOMs
+            if device_in:
+                # valid pairs <= nb_pad always (1-slot assignment: each
+                # particle emits at most one pair), so the stream is sized
+                # directly from the batch size — no counting pass, no host
+                # sync, and one compiled shape shared by every full batch
+                need = nb_pad + CHUNK * ntiles + ACHUNK + CHUNK
+                np_pad = (need + ACHUNK - 1) // ACHUNK * ACHUNK
+            else:
+                # host path: geometric buckets bound the number of compiled
+                # shapes across varying per-batch counts
+                need = npairs + CHUNK * ntiles + ACHUNK + CHUNK
+                np_pad = ACHUNK
+                while np_pad < need:
+                    np_pad = (
+                        (int(np_pad * 11) // 10 + ACHUNK) // ACHUNK * ACHUNK
+                    )
+
+            srcf, srci, starts, cnts, aoff = _prep_batch(
+                ppj, wj, rj, (gx, gy, gz), np_pad, geom
+            )
+            dstf = jnp.zeros((NF, np_pad), jnp.float32)
+            dsti = jnp.concatenate(
+                [
+                    jnp.full((1, np_pad), ntiles - 1, jnp.int32),
+                    jnp.full((2, np_pad), geom.HALO, jnp.int32),
+                    jnp.zeros((1, np_pad), jnp.int32),
+                ]
+            )
+            alf, ali = _run_align(
+                starts, cnts, aoff, srcf, srci, dstf, dsti,
+                np_pad=np_pad, ntiles=ntiles, interpret=interpret, geom=geom,
+            )
+            nchunks = np_pad // CHUNK
+            out, hx, hz, hc = _run_deposit(
+                ali, alf, out, hx, hz, hc, nchunks=nchunks, ntiles=ntiles,
+                subsample=subsample, accumulate=not first,
+                interpret=interpret, geom=geom,
+            )
+            first = False
+            if device_in and bi % 2 == 1:
+                # bound async queue depth: without a sync, XLA keeps several
+                # batches' sort/align transients alive at once and OOMs
+                float(jnp.sum(out[:1]))
+
+        if device_in and n:
+            # drain the batch pipeline before enqueueing the combine: the
+            # last batches' sort/align transients must be freed first, or
+            # they coexist with the combine's grid-sized buffers and OOM
+            # at 1024^3
             float(jnp.sum(out[:1]))
+        return _unpack_tiles(out, hx, hz, hc, (gx, gy, gz), vol0, geom)
 
-    if device_in and n:
-        # drain the batch pipeline before enqueueing the combine: the last
-        # batches' sort/align transients must be freed first, or they
-        # coexist with the combine's grid-sized buffers and OOM at 1024^3
-        float(jnp.sum(out[:1]))
-    vol = _unpack_tiles(out, hx, hz, hc, (gx, gy, gz))
+    vol = run_bucket(G8, pos_s, w_s, r_s, None)
+    if need_mid:
+        if device_in:
+            # free the base bucket's tile buffers before allocating the
+            # 16^3 bucket's (two grid-sized tile sets do not coexist)
+            float(jnp.sum(vol[:1, :1]))
+        vol = run_bucket(G16, pos_mid, w_mid, r_mid, vol)
 
     if n_huge:
         from .splat import splat_volume_oracle

@@ -87,6 +87,35 @@ def test_unpack_tiles_folds_multislab():
 
 
 @pytest.mark.slow
+def test_radius_buckets_oracle_parity():
+    """Mixed radii spanning every engine bucket — sub-pixel, the 8^3 kernel
+    (<= 3 px), the 16^3 kernel ((3, 7] px), and the oracle tail (> 7 px) —
+    must reproduce the oracle field; the buckets partition the radius axis
+    exactly (splat_pallas.G8/G16 eligibility)."""
+    rng = np.random.Generator(np.random.Philox(42))
+    n = 160
+    grid = (48, 44, 40)
+    ppu = 48.0
+    box = np.array([g / ppu for g in grid], np.float32)
+    pos = (rng.random((n, 3)).astype(np.float32) * box).astype(np.float32)
+    w = rng.random(n).astype(np.float32) + 0.25
+    r = np.empty(n, np.float32)
+    r[: n // 4] = rng.random(n // 4).astype(np.float32) * 0.4 + 0.05
+    r[n // 4 : n // 2] = rng.random(n // 4).astype(np.float32) * 2.5 + 0.5
+    r[n // 2 : 3 * n // 4] = rng.random(n // 4).astype(np.float32) * 4.0 + 3.0
+    r[3 * n // 4 :] = rng.random(n - 3 * n // 4).astype(np.float32) * 2.0 + 7.0
+    r /= ppu
+    # boundary radii land exactly on the bucket edges
+    r[0] = 3.0 / ppu
+    r[1] = 7.0 / ppu
+    got = np.asarray(
+        splat_pallas.splat_volume(pos, w, r, ppu, grid, interpret=True)
+    )
+    want = splat_volume_oracle(pos, w, r, ppu, grid)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.slow
 def test_pallas_multitile_oracle_parity():
     """End-to-end parity on a grid spanning >= 2 tiles in every axis, so
     halo folds and the y-crossing second pair are all on the deposit path."""
