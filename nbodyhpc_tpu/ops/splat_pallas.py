@@ -670,6 +670,60 @@ def _unpack_tiles(out, hx, hz, hc, grid, vol0=None, geom=G8):
     return vol[: grid[0]]
 
 
+def splat_volume_traced_engine(ppx, w, rpx, grid, subsample: int = 4,
+                               interpret: bool = False, buckets=(G8,)):
+    """Fully-traced engine pipeline: one dispatch, no host control flow.
+
+    Takes pixel-space positions/radii and renders the same field as
+    :func:`splat_volume` (for radii within ``buckets``' coverage) in a form
+    that can be traced inside ``shard_map`` bodies — this is what the
+    z-slab-sharded renderer runs per device (parallel/sharded.py). The whole
+    particle set is processed as ONE batch per bucket; callers stream truly
+    huge per-device sets through :func:`splat_volume` instead.
+    """
+    grid = tuple(int(v) for v in grid)
+    n = ppx.shape[0]
+    n_pad = (n + 127) // 128 * 128
+    if n_pad > n:
+        ppx = jnp.concatenate(
+            [ppx, jnp.zeros((n_pad - n, 3), jnp.float32)], axis=0
+        )
+        w = jnp.concatenate([w, jnp.zeros(n_pad - n, jnp.float32)])
+        rpx = jnp.concatenate([rpx, jnp.ones(n_pad - n, jnp.float32)])
+
+    vol = None
+    for geom in buckets:
+        ntiles = _ntiles(grid, geom)
+        need = n_pad + CHUNK * ntiles + ACHUNK + CHUNK
+        np_pad = (need + ACHUNK - 1) // ACHUNK * ACHUNK
+        srcf, srci, starts, cnts, aoff = _prep_batch(
+            ppx, w, rpx, grid, np_pad, geom
+        )
+        dstf = jnp.zeros((NF, np_pad), jnp.float32)
+        dsti = jnp.concatenate(
+            [
+                jnp.full((1, np_pad), ntiles - 1, jnp.int32),
+                jnp.full((2, np_pad), geom.HALO, jnp.int32),
+                jnp.zeros((1, np_pad), jnp.int32),
+            ]
+        )
+        alf, ali = _run_align(
+            starts, cnts, aoff, srcf, srci, dstf, dsti,
+            np_pad=np_pad, ntiles=ntiles, interpret=interpret, geom=geom,
+        )
+        out = jnp.zeros((ntiles, TX, TZ, TY), jnp.float32)
+        hx = jnp.zeros((ntiles, geom.HALO, TZ, TY), jnp.float32)
+        hz = jnp.zeros((ntiles, TX, geom.HALO, TY), jnp.float32)
+        hc = jnp.zeros((ntiles, geom.HALO, geom.HALO, TY), jnp.float32)
+        out, hx, hz, hc = _run_deposit(
+            ali, alf, out, hx, hz, hc, nchunks=np_pad // CHUNK,
+            ntiles=ntiles, subsample=subsample, accumulate=False,
+            interpret=interpret, geom=geom,
+        )
+        vol = _unpack_tiles(out, hx, hz, hc, grid, vol, geom)
+    return vol
+
+
 def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
                  subsample: int = 4, batch: int = 8_000_000,
                  interpret: bool | None = None):

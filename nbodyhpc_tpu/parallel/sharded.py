@@ -25,6 +25,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..core.cells import CellList
 from ..core.points import round_up
 from ..ops import knn as _knn
+from ..ops import splat_pallas as _splat
 from ..ops.ghosts import augment_points_periodic
 from ..ops.splat import required_halfwidth, splat_volume_traced
 from .mesh import make_slab_mesh
@@ -52,8 +53,15 @@ def _band_select(arrs, mask, cap):
     return out, valid, overflow
 
 
-def _render_shard_fn(gx, gy, gz_loc, halfwidth, subsample, cap, axis):
-    """Per-device slab renderer with ppermute halo exchange."""
+def _render_shard_fn(gx, gy, gz_loc, halfwidth, subsample, cap, axis,
+                     buckets=None):
+    """Per-device slab renderer with ppermute halo exchange.
+
+    When ``buckets`` is given, the slab is rendered by the production Pallas
+    engine (ops/splat_pallas.py) via its fully-traced single-dispatch
+    pipeline; otherwise by the traced oracle scatter (radii beyond the
+    engine's 7 px bucket ceiling)."""
+    interpret = jax.default_backend() != "tpu"
 
     def f(ppx, w, rpx):
         s = jax.lax.axis_index(axis)
@@ -80,9 +88,15 @@ def _render_shard_fn(gx, gy, gz_loc, halfwidth, subsample, cap, axis):
         all_r = jnp.where(all_w != 0.0, all_r, 1.0)  # NaN-safe padding
 
         local = all_p - jnp.asarray([0.0, 0.0, 1.0]) * z0
-        dens = splat_volume_traced(
-            local, all_w, all_r, (gx, gy, gz_loc), halfwidth, subsample
-        )
+        if buckets is not None:
+            dens = _splat.splat_volume_traced_engine(
+                local, all_w, all_r, (gx, gy, gz_loc), subsample,
+                interpret=interpret, buckets=buckets,
+            )
+        else:
+            dens = splat_volume_traced(
+                local, all_w, all_r, (gx, gy, gz_loc), halfwidth, subsample
+            )
         overflow = jax.lax.psum(ov_lo + ov_hi, axis)
         return dens.reshape(gx, gy, gz_loc), overflow
 
@@ -134,7 +148,17 @@ def render_points_volume_sharded(
 
     ppx = positions * pixels_per_unit
     rpx = radii * pixels_per_unit
-    halfwidth = required_halfwidth(float(rpx.max()) if rpx.size else 0.0)
+    max_rpx = float(rpx.max()) if rpx.size else 0.0
+    halfwidth = required_halfwidth(max_rpx)
+    # per-shard engine: the Pallas radius buckets when radii fit, else the
+    # traced oracle scatter (the engine's exact bucket partition means a
+    # pure <= 3 px workload runs only the 8^3 kernel)
+    if max_rpx <= _splat.G8.RMAX:
+        buckets = (_splat.G8,)
+    elif max_rpx <= _splat.G16.RMAX:
+        buckets = (_splat.G8, _splat.G16)
+    else:
+        buckets = None
 
     # host partition into slabs by particle center
     slab = np.clip((ppx[:, 2] // gz_loc).astype(np.int64), 0, nd - 1)
@@ -156,12 +180,16 @@ def render_points_volume_sharded(
     if band_cap is None:
         band_cap = max(256, round_up(nloc // 4, 256))
 
-    fn = _render_shard_fn(gx, gy, gz_loc, halfwidth, subsample, band_cap, axis)
+    fn = _render_shard_fn(gx, gy, gz_loc, halfwidth, subsample, band_cap,
+                          axis, buckets)
     mapped = shard_map(
         fn,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis)),
         out_specs=(P(None, None, axis), P()),
+        # pallas_call out_shapes carry no varying-mesh-axes annotation;
+        # correctness of the slab decomposition is pinned by tests instead
+        check_vma=False,
     )
     # flatten the device axis into the shard axis
     jf = jax.jit(
