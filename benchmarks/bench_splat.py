@@ -48,6 +48,7 @@ def main():
     else:
         bench(1e7, 512, 0.1, 0.4, "1e7 subpixel 512^3")
         bench(1e7, 512, 1.0, 3.0, "1e7 big 512^3")
+        bench(1e7, 512, 3.1, 7.0, "1e7 16^3-bucket 512^3")
         bench(1e8, 1024, 1.0, 3.0, "1e8 big 1024^3")
 
 
