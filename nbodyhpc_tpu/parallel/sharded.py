@@ -54,13 +54,16 @@ def _band_select(arrs, mask, cap):
 
 
 def _render_shard_fn(gx, gy, gz_loc, halfwidth, subsample, cap, axis,
-                     buckets=None):
+                     buckets=None, hops=1):
     """Per-device slab renderer with ppermute halo exchange.
 
     When ``buckets`` is given, the slab is rendered by the production Pallas
     engine (ops/splat_pallas.py) via its fully-traced single-dispatch
     pipeline; otherwise by the traced oracle scatter (radii beyond the
-    engine's 7 px bucket ceiling)."""
+    engine's 7 px bucket ceiling). ``hops`` is the halo depth in slabs: a
+    footprint can reach ``max_rpx + Z_MARGIN`` pixels past its center, so
+    when slabs are shallower than that, bands are exchanged with devices up
+    to ceil(reach / gz_loc) slabs away, not just the adjacent ones."""
     interpret = jax.default_backend() != "tpu"
 
     def f(ppx, w, rpx):
@@ -70,21 +73,39 @@ def _render_shard_fn(gx, gy, gz_loc, halfwidth, subsample, cap, axis,
         zpx = ppx[:, 2]
 
         reach = rpx + Z_MARGIN
-        cross_lo = (zpx - reach < z0) & (w != 0.0)
-        cross_hi = (zpx + reach >= z0 + gz_loc) & (w != 0.0)
+        parts_p, parts_w, parts_r = [ppx], [w], [rpx]
+        overflow = jnp.int32(0)
+        for h in range(1, hops + 1):
+            # band for the slab h below: footprint reaches under that
+            # slab's top face; band for the slab h above symmetrically
+            cross_lo = (zpx - reach < z0 - (h - 1) * gz_loc) & (w != 0.0)
+            cross_hi = (zpx + reach >= z0 + h * gz_loc) & (w != 0.0)
 
-        (blo_p, blo_w, blo_r), _, ov_lo = _band_select((ppx, w, rpx), cross_lo, cap)
-        (bhi_p, bhi_w, bhi_r), _, ov_hi = _band_select((ppx, w, rpx), cross_hi, cap)
+            (blo_p, blo_w, blo_r), _, ov_lo = _band_select(
+                (ppx, w, rpx), cross_lo, cap
+            )
+            (bhi_p, bhi_w, bhi_r), _, ov_hi = _band_select(
+                (ppx, w, rpx), cross_hi, cap
+            )
 
-        # device i-1 receives i's lower band; device i+1 receives i's upper band
-        perm_dn = [(i, i - 1) for i in range(1, nd)]
-        perm_up = [(i, i + 1) for i in range(nd - 1)]
-        r_hi = [jax.lax.ppermute(x, axis, perm_dn) for x in (blo_p, blo_w, blo_r)]
-        r_lo = [jax.lax.ppermute(x, axis, perm_up) for x in (bhi_p, bhi_w, bhi_r)]
+            perm_dn = [(i, i - h) for i in range(h, nd)]
+            perm_up = [(i, i + h) for i in range(nd - h)]
+            r_hi = [
+                jax.lax.ppermute(x, axis, perm_dn)
+                for x in (blo_p, blo_w, blo_r)
+            ]
+            r_lo = [
+                jax.lax.ppermute(x, axis, perm_up)
+                for x in (bhi_p, bhi_w, bhi_r)
+            ]
+            parts_p += [r_lo[0], r_hi[0]]
+            parts_w += [r_lo[1], r_hi[1]]
+            parts_r += [r_lo[2], r_hi[2]]
+            overflow = overflow + ov_lo + ov_hi
 
-        all_p = jnp.concatenate([ppx, r_lo[0], r_hi[0]], axis=0)
-        all_w = jnp.concatenate([w, r_lo[1], r_hi[1]])
-        all_r = jnp.concatenate([rpx, r_lo[2], r_hi[2]])
+        all_p = jnp.concatenate(parts_p, axis=0)
+        all_w = jnp.concatenate(parts_w)
+        all_r = jnp.concatenate(parts_r)
         all_r = jnp.where(all_w != 0.0, all_r, 1.0)  # NaN-safe padding
 
         local = all_p - jnp.asarray([0.0, 0.0, 1.0]) * z0
@@ -97,8 +118,7 @@ def _render_shard_fn(gx, gy, gz_loc, halfwidth, subsample, cap, axis,
             dens = splat_volume_traced(
                 local, all_w, all_r, (gx, gy, gz_loc), halfwidth, subsample
             )
-        overflow = jax.lax.psum(ov_lo + ov_hi, axis)
-        return dens.reshape(gx, gy, gz_loc), overflow
+        return dens.reshape(gx, gy, gz_loc), jax.lax.psum(overflow, axis)
 
     return f
 
@@ -180,8 +200,9 @@ def render_points_volume_sharded(
     if band_cap is None:
         band_cap = max(256, round_up(nloc // 4, 256))
 
+    hops = min(nd - 1, max(1, int(np.ceil((max_rpx + Z_MARGIN) / gz_loc))))
     fn = _render_shard_fn(gx, gy, gz_loc, halfwidth, subsample, band_cap,
-                          axis, buckets)
+                          axis, buckets, hops)
     mapped = shard_map(
         fn,
         mesh=mesh,

@@ -68,6 +68,41 @@ def test_sharded_render_boundary_straddlers(mesh):
     np.testing.assert_allclose(vol, ref, rtol=2e-5, atol=1e-6)
 
 
+def test_sharded_render_mid_radius_bucket(mesh):
+    """Radii reaching into the 16^3 kernel bucket ((3, 7] px) run the
+    two-bucket Pallas engine per shard and must match the single-device
+    render across slab boundaries."""
+    rng = np.random.Generator(np.random.Philox(31))
+    n = 400
+    pos = rng.random((n, 3)).astype(np.float32)
+    w = rng.random(n).astype(np.float32) + 0.5
+    ppu = 32.0
+    r = ((0.5 + rng.random(n) * 6.0) / ppu).astype(np.float32)  # 0.5-6.5 px
+    vol, overflow = render_points_volume_sharded(
+        pos, w, r, ppu, (32, 32, 32), mesh=mesh, band_cap=512
+    )
+    assert overflow == 0
+    ref = render_points_volume(pos, w, r, ppu, 32)
+    np.testing.assert_allclose(vol, ref, rtol=2e-5, atol=1e-6)
+
+
+def test_sharded_render_oracle_fallback(mesh):
+    """Radii beyond the engine's 7 px ceiling fall back to the traced
+    oracle scatter per shard."""
+    rng = np.random.Generator(np.random.Philox(33))
+    n = 40
+    pos = rng.random((n, 3)).astype(np.float32)
+    w = rng.random(n).astype(np.float32) + 0.5
+    ppu = 32.0
+    r = ((6.0 + rng.random(n) * 3.0) / ppu).astype(np.float32)  # up to 9 px
+    vol, overflow = render_points_volume_sharded(
+        pos, w, r, ppu, (32, 32, 32), mesh=mesh, band_cap=256
+    )
+    assert overflow == 0
+    ref = render_points_volume(pos, w, r, ppu, 32)
+    np.testing.assert_allclose(vol, ref, rtol=2e-5, atol=1e-6)
+
+
 def test_sharded_knn_matches_single(mesh):
     pos, _, _ = _particles(5000, 3)
     q, _, _ = _particles(999, 4)  # odd count exercises padding
