@@ -8,40 +8,41 @@ scatter are scalar-slow, so this module re-derives deposition as a fully
 gather-free sort-then-accumulate pipeline:
 
 1. **Tile assignment + multi-operand sort (XLA).** Every particle is
-   assigned to the ONE grid tile containing its F=8 footprint window base —
+   assigned to the ONE grid tile containing its F^3 footprint window base —
    x/z tile crossings are absorbed by the accumulator's one-sided row halo,
-   and y crossings by reserving the top 8 of the 128 lanes as an in-tile
-   y halo (tiles cover YTILE=120 y voxels), so no particle is ever
-   duplicated. All spill is folded into neighbor tiles by a final XLA
-   combine pass. The particle channels (position, weight, radius) ride
-   along the tile-key sort as extra sort operands — XLA's sort moves
-   payloads inside its comparator network, avoiding the catastrophic cost
-   of post-sort random gathers. Tile-local attributes are then derived
-   elementwise from (key, position) alone.
+   and y crossings by reserving the top TY - YTILE of the 128 lanes as an
+   in-tile y halo, so no particle is ever duplicated. All spill is folded
+   into neighbor tiles by a final XLA combine pass. The particle channels
+   (position, weight, radius) ride along the tile-key sort as extra sort
+   operands — XLA's sort moves payloads inside its comparator network,
+   avoiding the catastrophic cost of post-sort random gathers. Tile-local
+   attributes are then derived elementwise from (key, position) alone.
 2. **Alignment kernel (Pallas).** Ragged per-tile runs are repacked so every
    tile owns whole 128-pair chunks, via chunked DMA copies (one contiguous
    run per tile) — the ragged-to-padded step XLA cannot express efficiently.
 3. **Deposit kernel (Pallas).** A 1D grid over chunks; a VMEM accumulator
    holds the current tile (with x/z halo rows so footprint windows never
-   clip). 16 particles per group are evaluated *lane-packed* (lanes = 16
-   particles x 8 y-window slots; rows = 8x x 8z footprint offsets),
-   reproducing the fragment shader's subsample-cube overlap
-   (triangle.frag:25-45) and the vertex shader's point-size / sub-pixel rules
-   (triangle.vert:41-63). Each particle's y-profile is rotated into lane
-   position (dynamic roll) and accumulated with eight 8-row RMWs. When the
-   chunk stream crosses a tile boundary the accumulator is flushed with four
-   strided DMAs (center + the three right-halo spill strips) to compact
-   HBM-resident tile-major outputs (read-modify-write prefetch when
+   clip). P = 128/F particles per group are evaluated *lane-packed*
+   (lanes = P particles x F y-window slots; rows = Fx x Fz footprint
+   offsets), reproducing the fragment shader's subsample-cube overlap
+   (triangle.frag:25-45) and the vertex shader's point-size / sub-pixel
+   rules (triangle.vert:41-63). Each particle's y-profile is rotated into
+   lane position (dynamic roll) and accumulated with one F x F-row RMW.
+   When the chunk stream crosses a tile boundary the accumulator is flushed
+   with four strided DMAs (center + the three right-halo spill strips) to
+   compact HBM-resident tile-major outputs (read-modify-write prefetch when
    accumulating across particle batches); a final XLA pass folds each
    tile's +x/+z halo strips into its neighbors.
 
-Tile geometry: (TX, YTILE, TZ) = (128, 120, 64) voxels; lanes = y (the
-roll axis): 120 tile voxels + 8 y-halo lanes, so a window based at
-by_local <= 119 never wraps. Accumulator rows = (x + 8-voxel halo) x
-(z + 8-voxel halo) = (144, 80) -> 11520 rows. The left halos only absorb
-windows clamped at the grid origin (discarded); the right row halos carry
-+x/+z spill and lanes [120, 128) carry +y spill (including the x/z-halo
-corners, which ride the same flush buffers).
+Tile geometry (bucket-parameterized, see ``_Geom``): tiles span
+(TX, YTILE, TZ) = (128, YTILE, 64) voxels with lanes = y (the roll axis):
+YTILE tile voxels + (TY - YTILE) y-halo lanes sized so a window based at
+by_local <= YTILE - 1 never wraps (G8: YTILE=120, halo 8; G16: YTILE=112,
+halo 16). Accumulator rows = (x + HALO-row halo) x (z + HALO-row halo).
+The left halos only absorb windows clamped at the grid origin (discarded);
+the right row halos carry +x/+z spill and lanes [YTILE, 128) carry +y
+spill (including the x/z-halo corners, which ride the same flush
+buffers).
 
 Radius support: two kernel buckets partition the radius axis — G8 (8^3
 window, sub-pixel + radii <= 3 px, 16 particles per lane-packed group) and
@@ -101,13 +102,9 @@ G8 = _Geom(F=8, YTILE=120, HALO=8, RMIN=-1.0, RMAX=3.0)
 # bucket 2: radii in (3, 7] px (16^3 window, 8 particles per group)
 G16 = _Geom(F=16, YTILE=112, HALO=16, RMIN=3.0, RMAX=7.0)
 
-F = G8.F                    # compat aliases (tests, docs)
+# base-bucket aliases used by tests; bucket-specific code reads G8/G16
 YTILE = G8.YTILE
 HALO = G8.HALO
-XSLOTS = G8.XSLOTS
-ZSLOTS = G8.ZSLOTS
-GROUPS = CHUNK // 16
-RMAX_PX = G8.RMAX           # fast-bucket bound; device path accepts G16.RMAX
 
 
 # ---------------------------------------------------------------------------
@@ -670,6 +667,43 @@ def _unpack_tiles(out, hx, hz, hc, grid, vol0=None, geom=G8):
     return vol[: grid[0]]
 
 
+def _zero_bufs(ntiles, geom):
+    return (
+        jnp.zeros((ntiles, TX, TZ, TY), jnp.float32),
+        jnp.zeros((ntiles, geom.HALO, TZ, TY), jnp.float32),
+        jnp.zeros((ntiles, TX, geom.HALO, TY), jnp.float32),
+        jnp.zeros((ntiles, geom.HALO, geom.HALO, TY), jnp.float32),
+    )
+
+
+def _dispatch_batch(geom, ppj, wj, rj, grid, np_pad, bufs, accumulate,
+                    subsample, interpret):
+    """One prep -> align -> deposit dispatch of a padded particle batch into
+    the bucket's tile buffers (the shared inner step of `splat_volume` and
+    `splat_volume_traced_engine`)."""
+    ntiles = _ntiles(grid, geom)
+    srcf, srci, starts, cnts, aoff = _prep_batch(
+        ppj, wj, rj, grid, np_pad, geom
+    )
+    dstf = jnp.zeros((NF, np_pad), jnp.float32)
+    dsti = jnp.concatenate(
+        [
+            jnp.full((1, np_pad), ntiles - 1, jnp.int32),
+            jnp.full((2, np_pad), geom.HALO, jnp.int32),
+            jnp.zeros((1, np_pad), jnp.int32),
+        ]
+    )
+    alf, ali = _run_align(
+        starts, cnts, aoff, srcf, srci, dstf, dsti,
+        np_pad=np_pad, ntiles=ntiles, interpret=interpret, geom=geom,
+    )
+    return _run_deposit(
+        ali, alf, *bufs, nchunks=np_pad // CHUNK, ntiles=ntiles,
+        subsample=subsample, accumulate=accumulate, interpret=interpret,
+        geom=geom,
+    )
+
+
 def splat_volume_traced_engine(ppx, w, rpx, grid, subsample: int = 4,
                                interpret: bool = False, buckets=(G8,)):
     """Fully-traced engine pipeline: one dispatch, no host control flow.
@@ -696,31 +730,11 @@ def splat_volume_traced_engine(ppx, w, rpx, grid, subsample: int = 4,
         ntiles = _ntiles(grid, geom)
         need = n_pad + CHUNK * ntiles + ACHUNK + CHUNK
         np_pad = (need + ACHUNK - 1) // ACHUNK * ACHUNK
-        srcf, srci, starts, cnts, aoff = _prep_batch(
-            ppx, w, rpx, grid, np_pad, geom
+        bufs = _dispatch_batch(
+            geom, ppx, w, rpx, grid, np_pad, _zero_bufs(ntiles, geom),
+            accumulate=False, subsample=subsample, interpret=interpret,
         )
-        dstf = jnp.zeros((NF, np_pad), jnp.float32)
-        dsti = jnp.concatenate(
-            [
-                jnp.full((1, np_pad), ntiles - 1, jnp.int32),
-                jnp.full((2, np_pad), geom.HALO, jnp.int32),
-                jnp.zeros((1, np_pad), jnp.int32),
-            ]
-        )
-        alf, ali = _run_align(
-            starts, cnts, aoff, srcf, srci, dstf, dsti,
-            np_pad=np_pad, ntiles=ntiles, interpret=interpret, geom=geom,
-        )
-        out = jnp.zeros((ntiles, TX, TZ, TY), jnp.float32)
-        hx = jnp.zeros((ntiles, geom.HALO, TZ, TY), jnp.float32)
-        hz = jnp.zeros((ntiles, TX, geom.HALO, TY), jnp.float32)
-        hc = jnp.zeros((ntiles, geom.HALO, geom.HALO, TY), jnp.float32)
-        out, hx, hz, hc = _run_deposit(
-            ali, alf, out, hx, hz, hc, nchunks=np_pad // CHUNK,
-            ntiles=ntiles, subsample=subsample, accumulate=False,
-            interpret=interpret, geom=geom,
-        )
-        vol = _unpack_tiles(out, hx, hz, hc, grid, vol, geom)
+        vol = _unpack_tiles(*bufs, grid, vol, geom)
     return vol
 
 
@@ -751,10 +765,15 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
 
     if device_in:
         # device-resident fast path: no host round trip; radii must fit the
-        # kernel buckets (checked with one scalar readback)
+        # kernel buckets (checked with one fused two-scalar readback, which
+        # also lets an all-mid workload skip the empty base-bucket pass)
         rpx_all = radii * pixels_per_unit
         n_huge = 0
-        max_rpx = float(jnp.max(rpx_all)) if positions.shape[0] else 0.0
+        if positions.shape[0]:
+            mm = np.asarray(jnp.stack([jnp.max(rpx_all), jnp.min(rpx_all)]))
+            max_rpx, min_rpx = float(mm[0]), float(mm[1])
+        else:
+            max_rpx = min_rpx = 0.0
         if max_rpx > G16.RMAX:
             raise ValueError(
                 "device-resident splat_volume requires pixel radii <= "
@@ -763,6 +782,7 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
         pos_s, w_s, r_s = positions, weights, rpx_all
         pos_mid, w_mid, r_mid = pos_s, w_s, r_s  # routed by bucket keys
         need_mid = max_rpx > G8.RMAX
+        need_base = positions.shape[0] > 0 and min_rpx <= G8.RMAX
     else:
         rpx_h = radii * pixels_per_unit
         huge = rpx_h > G16.RMAX
@@ -779,15 +799,13 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
             pos_s, w_s, r_s = pos_k[~mid], w_k[~mid], r_k[~mid]
         else:
             pos_s, w_s, r_s = pos_k, w_k, r_k
+        need_base = pos_s.shape[0] > 0
 
     batch = (batch + 127) // 128 * 128
 
     def run_bucket(geom, p_in, w_in, r_in, vol0):
         ntiles = _ntiles((gx, gy, gz), geom)
-        out = jnp.zeros((ntiles, TX, TZ, TY), jnp.float32)
-        hx = jnp.zeros((ntiles, geom.HALO, TZ, TY), jnp.float32)
-        hz = jnp.zeros((ntiles, TX, geom.HALO, TY), jnp.float32)
-        hc = jnp.zeros((ntiles, geom.HALO, geom.HALO, TY), jnp.float32)
+        bufs = _zero_bufs(ntiles, geom)
         n = p_in.shape[0]
 
         first = True
@@ -843,48 +861,36 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
                         (int(np_pad * 11) // 10 + ACHUNK) // ACHUNK * ACHUNK
                     )
 
-            srcf, srci, starts, cnts, aoff = _prep_batch(
-                ppj, wj, rj, (gx, gy, gz), np_pad, geom
-            )
-            dstf = jnp.zeros((NF, np_pad), jnp.float32)
-            dsti = jnp.concatenate(
-                [
-                    jnp.full((1, np_pad), ntiles - 1, jnp.int32),
-                    jnp.full((2, np_pad), geom.HALO, jnp.int32),
-                    jnp.zeros((1, np_pad), jnp.int32),
-                ]
-            )
-            alf, ali = _run_align(
-                starts, cnts, aoff, srcf, srci, dstf, dsti,
-                np_pad=np_pad, ntiles=ntiles, interpret=interpret, geom=geom,
-            )
-            nchunks = np_pad // CHUNK
-            out, hx, hz, hc = _run_deposit(
-                ali, alf, out, hx, hz, hc, nchunks=nchunks, ntiles=ntiles,
-                subsample=subsample, accumulate=not first,
-                interpret=interpret, geom=geom,
+            bufs = _dispatch_batch(
+                geom, ppj, wj, rj, (gx, gy, gz), np_pad, bufs,
+                accumulate=not first, subsample=subsample,
+                interpret=interpret,
             )
             first = False
             if device_in and bi % 2 == 1:
                 # bound async queue depth: without a sync, XLA keeps several
                 # batches' sort/align transients alive at once and OOMs
-                float(jnp.sum(out[:1]))
+                float(jnp.sum(bufs[0][:1]))
 
         if device_in and n:
             # drain the batch pipeline before enqueueing the combine: the
             # last batches' sort/align transients must be freed first, or
             # they coexist with the combine's grid-sized buffers and OOM
             # at 1024^3
-            float(jnp.sum(out[:1]))
-        return _unpack_tiles(out, hx, hz, hc, (gx, gy, gz), vol0, geom)
+            float(jnp.sum(bufs[0][:1]))
+        return _unpack_tiles(*bufs, (gx, gy, gz), vol0, geom)
 
-    vol = run_bucket(G8, pos_s, w_s, r_s, None)
+    vol = None
+    if need_base:
+        vol = run_bucket(G8, pos_s, w_s, r_s, None)
     if need_mid:
-        if device_in:
+        if device_in and vol is not None:
             # free the base bucket's tile buffers before allocating the
             # 16^3 bucket's (two grid-sized tile sets do not coexist)
             float(jnp.sum(vol[:1, :1]))
         vol = run_bucket(G16, pos_mid, w_mid, r_mid, vol)
+    if vol is None:
+        vol = jnp.zeros((gx, gy, gz), jnp.float32)
 
     if n_huge:
         from .splat import splat_volume_oracle

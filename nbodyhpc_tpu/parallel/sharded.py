@@ -70,23 +70,39 @@ def _render_shard_fn(gx, gy, gz_loc, halfwidth, subsample, cap, axis,
         s = jax.lax.axis_index(axis)
         nd = jax.lax.axis_size(axis)
         z0 = (s * gz_loc).astype(jnp.float32)
-        zpx = ppx[:, 2]
 
-        reach = rpx + Z_MARGIN
         parts_p, parts_w, parts_r = [ppx], [w], [rpx]
         overflow = jnp.int32(0)
+        # bands nest (the hop-h band is a subset of the hop-(h-1) band), so
+        # hop 1 compacts from the full local set and deeper hops re-select
+        # from the previous hop's cap-sized band — one O(n log n) pass total
+        # instead of one per hop
+        lo_src = hi_src = (ppx, w, rpx)
         for h in range(1, hops + 1):
             # band for the slab h below: footprint reaches under that
-            # slab's top face; band for the slab h above symmetrically
-            cross_lo = (zpx - reach < z0 - (h - 1) * gz_loc) & (w != 0.0)
-            cross_hi = (zpx + reach >= z0 + h * gz_loc) & (w != 0.0)
+            # slab's top face; band for the slab h above symmetrically.
+            # Edge devices (no receiver at distance h) neither send nor
+            # count overflow: their discarded band must not flag an exact
+            # render as overflowed.
+            zlo, wlo = lo_src[0][:, 2], lo_src[1]
+            zhi, whi = hi_src[0][:, 2], hi_src[1]
+            cross_lo = (
+                (zlo - (lo_src[2] + Z_MARGIN) < z0 - (h - 1) * gz_loc)
+                & (wlo != 0.0) & (s >= h)
+            )
+            cross_hi = (
+                (zhi + hi_src[2] + Z_MARGIN >= z0 + h * gz_loc)
+                & (whi != 0.0) & (s < nd - h)
+            )
 
             (blo_p, blo_w, blo_r), _, ov_lo = _band_select(
-                (ppx, w, rpx), cross_lo, cap
+                lo_src, cross_lo, cap
             )
             (bhi_p, bhi_w, bhi_r), _, ov_hi = _band_select(
-                (ppx, w, rpx), cross_hi, cap
+                hi_src, cross_hi, cap
             )
+            lo_src = (blo_p, blo_w, blo_r)
+            hi_src = (bhi_p, bhi_w, bhi_r)
 
             perm_dn = [(i, i - h) for i in range(h, nd)]
             perm_up = [(i, i + h) for i in range(nd - h)]
