@@ -145,12 +145,49 @@ class PointRenderer:
         """Render one 2D slice at z=0; returns (height, width) float32 F-order.
 
         Reference path: pybind.cpp:73-96 + point_renderer.cpp:606-657.
+        The 2D plane (depth 0, bounds (-0.5, 0.5] px) is exactly 3D slice 0
+        with z shifted by half a pixel, so large inputs route through the
+        Pallas volume engine on a one-voxel z-slab (the oracle's 256-particle
+        chunked dispatch is minutes at 1e7 points); the half-pixel shift
+        rounds once in f32, so engine and oracle agree to round-off, not
+        bit-exactly.
         """
         positions, weights, radii = self._prepare(positions, weights, radii, period)
-        img = _splat.splat_2d_oracle(
-            positions, weights, radii, float(pixels_per_unit),
-            (self._nx, self._ny), self.subsample_factor,
+        import jax
+
+        use_pallas = self.engine == "pallas" or (
+            self.engine == "auto"
+            and positions.shape[0] >= 200_000
+            and jax.default_backend() == "tpu"
         )
+        if use_pallas:
+            from ..ops import splat_pallas
+
+            ppu = float(pixels_per_unit)
+            pos2 = np.array(positions, np.float32, copy=True)
+            # big particles: the 2D slab is one PIXEL thick around z=0
+            # (fragment corner at -0.5 px) == 3D voxel 0 shifted half a
+            # pixel. Sub-pixel particles: the reference's z-select is
+            # +-0.5 UNITS (splat.py footprint_values_2d:146-200), so their
+            # engine z must land in pixel-voxel 0 exactly when
+            # z_units in (-0.5, 0.5].
+            is_sub = radii * np.float32(ppu) < 0.5
+            pos2[:, 2] = np.where(
+                is_sub,
+                (positions[:, 2] + np.float32(0.5)) / np.float32(ppu),
+                positions[:, 2] + np.float32(0.5 / ppu),
+            )
+            img = np.asarray(
+                splat_pallas.splat_volume(
+                    pos2, weights, radii, ppu, (self._nx, self._ny, 1),
+                    self.subsample_factor,
+                )
+            )[:, :, 0]
+        else:
+            img = _splat.splat_2d_oracle(
+                positions, weights, radii, float(pixels_per_unit),
+                (self._nx, self._ny), self.subsample_factor,
+            )
         return np.asfortranarray(img)
 
     def render_points_volume(self, positions, weights, radii, num_slices: int,

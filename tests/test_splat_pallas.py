@@ -87,6 +87,28 @@ def test_unpack_tiles_folds_multislab():
 
 
 @pytest.mark.slow
+def test_render_points_2d_engine_matches_oracle():
+    """The 2D plane is 3D slice 0 shifted half a pixel: the engine-backed
+    render_points path must match the 2D oracle to float round-off
+    (the half-pixel shift rounds once, so not bit-exact)."""
+    from nbodyhpc_tpu.rasterizer import PointRenderer
+
+    rng = np.random.Generator(np.random.Philox(17))
+    n = 300
+    ppu = 16.0
+    pos = rng.random((n, 3)).astype(np.float32) * np.array(
+        [2.0, 2.0, 0.6], np.float32
+    ) - np.array([0.0, 0.0, 0.3], np.float32)  # z straddles the plane
+    w = rng.random(n).astype(np.float32) + 0.5
+    r = ((0.2 + rng.random(n) * 2.5) / ppu).astype(np.float32)
+    fast = PointRenderer(None, 32, 32, engine="pallas")
+    ref = PointRenderer(None, 32, 32, engine="oracle")
+    got = fast.render_points(pos, w, r, ppu)
+    want = ref.render_points(pos, w, r, ppu)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_radius_buckets_oracle_parity():
     """Mixed radii spanning every engine bucket — sub-pixel, the 8^3 kernel
     (<= 3 px), the 16^3 kernel ((3, 7] px), and the oracle tail (> 7 px) —
