@@ -86,8 +86,11 @@ class KDTree:
         results reshaped to (..., k); distances are float32, ascending, with
         the sqrt postprocess applied; indices are uint32. ``k <= 0`` raises.
         Missing neighbors (k > n) get distance ``inf`` and index ``n``.
-        ``workers`` is accepted for compatibility (queries are batched on the
-        accelerator; there is nothing to thread).
+        ``workers`` maps the reference's thread fan-out
+        (pybind.cpp:164-172) to chips: ``workers != 1`` shards the query
+        batch over all visible devices (``parallel.sharded``); with a
+        single device it is a no-op (queries are batched on the
+        accelerator either way).
         """
         if len(kwargs) > 0:
             warnings.warn("Unrecognized keyword arguments: {}".format(kwargs))
@@ -101,13 +104,49 @@ class KDTree:
         if points.shape[-1] != 3:
             raise ValueError("query points must have 3 coordinates")
 
-        res = _knn.cell_knn_query(self._tree, self._dev, points, k)
-        distances, indices = res.distances, res.indices
+        import jax
+
+        if workers != 1 and len(jax.devices()) > 1 and points.shape[0] > 0:
+            from ..parallel.sharded import knn_query_sharded
+
+            distances, indices = knn_query_sharded(
+                self._tree, self._dev, points, k
+            )
+            indices = indices.astype(np.uint32)
+        else:
+            res = _knn.cell_knn_query(self._tree, self._dev, points, k)
+            distances, indices = res.distances, res.indices
 
         if shape is not None:
             distances = distances.reshape(shape[:-1] + (k,))
             indices = indices.reshape(shape[:-1] + (k,))
         return distances, indices
+
+    def query_device(self, queries, k: int = 1):
+        """Fully device-resident exact k-NN: jax arrays in, jax arrays out.
+
+        No host round trip — the expanding-cube ladder (with brute-force
+        fallback) runs as one traced program, so this composes with jit
+        and device-resident pipelines (the host-facing :meth:`query` adds
+        reshaping, chunked cancellation points, and the Pallas block
+        kernel fast path for very large batches). Returns
+        (distances (Q, k) f32 ascending, indices (Q, k) uint32).
+        """
+        if k <= 0:
+            raise ValueError("k must be positive")
+        t = self._tree
+        meta_static = (
+            tuple(int(d) for d in t.dims),
+            tuple(float(v) for v in t.lo),
+            tuple(float(v) for v in t.cell_size),
+            bool(t.periodic),
+            int(t.n),
+            int(t.xyz.shape[1]),
+        )
+        ladder = _knn.default_ladder(k, t)
+        fn = _knn._compiled_query(meta_static, ladder, k, True, False)
+        xyz, index, offsets = self._dev
+        return fn(xyz, index, offsets, queries)
 
     def query_with_statistics(self, points, k: int = 1):
         """Like :meth:`query` but also returns per-query

@@ -103,6 +103,31 @@ def test_sharded_render_oracle_fallback(mesh):
     np.testing.assert_allclose(vol, ref, rtol=2e-5, atol=1e-6)
 
 
+def test_query_workers_shards_over_devices(mesh):
+    """KDTree.query(workers=-1) is the reference's thread fan-out mapped to
+    chips: results must equal the single-device path exactly."""
+    pos, _, _ = _particles(4000, 12)
+    q, _, _ = _particles(513, 13)
+    tree = KDTree(pos, boxsize=1.0)
+    d1, i1 = tree.query(q, k=6)
+    d8, i8 = tree.query(q, k=6, workers=-1)
+    np.testing.assert_array_equal(i1, i8)
+    np.testing.assert_allclose(d1, d8, rtol=1e-6)
+    assert i8.dtype == np.uint32
+
+
+def test_query_device_matches_host():
+    import jax.numpy as jnp
+
+    pos, _, _ = _particles(3000, 14)
+    q, _, _ = _particles(200, 15)
+    tree = KDTree(pos)
+    d, i = tree.query_device(jnp.asarray(q), k=5)
+    dref, iref = tree.query(q, k=5)
+    np.testing.assert_array_equal(np.asarray(i), iref)
+    np.testing.assert_allclose(np.asarray(d), dref, rtol=1e-6)
+
+
 def test_sharded_knn_matches_single(mesh):
     pos, _, _ = _particles(5000, 3)
     q, _, _ = _particles(999, 4)  # odd count exercises padding
