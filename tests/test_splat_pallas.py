@@ -87,6 +87,28 @@ def test_unpack_tiles_folds_multislab():
 
 
 @pytest.mark.slow
+def test_nondefault_subsample_matches_oracle():
+    """subsample_factor != 4 parameterizes the kernel's unrolled subcell
+    loops (reference: fragment-shader spec constant, triangle.frag SUBGRID)."""
+    rng = np.random.Generator(np.random.Philox(19))
+    n = 60
+    grid = (24, 20, 16)
+    ppu = 16.0
+    box = np.array([g / ppu for g in grid], np.float32)
+    pos = (rng.random((n, 3)).astype(np.float32) * box).astype(np.float32)
+    w = rng.random(n).astype(np.float32) + 0.5
+    r = ((0.3 + rng.random(n) * 2.5) / ppu).astype(np.float32)
+    for s in (2, 3):
+        got = np.asarray(
+            splat_pallas.splat_volume(
+                pos, w, r, ppu, grid, subsample=s, interpret=True
+            )
+        )
+        want = splat_volume_oracle(pos, w, r, ppu, grid, subsample=s)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.slow
 def test_render_points_2d_engine_matches_oracle():
     """The 2D plane is 3D slice 0 shifted half a pixel: the engine-backed
     render_points path must match the 2D oracle to float round-off
