@@ -206,6 +206,181 @@ static PyObject *hostio_write_records(PyObject *self, PyObject *args) {
     Py_RETURN_NONE;
 }
 
+/* ----------------------- streaming chunk loader ------------------------- */
+/* Double-buffered record streaming: a POSIX prefetch thread reads chunk
+ * i+1 while Python consumes chunk i — the host analog of the reference's
+ * dedicated Vulkan transfer queue overlapping uploads with compute
+ * (rasterization/src/cpp/vulkan_support.cpp:204-237,
+ *  point_renderer.cpp:393-449). */
+
+typedef struct {
+    PyObject_HEAD
+    int fd;
+    int64_t ncols;
+    int64_t chunk_rows;
+    int64_t nrec;      /* total records in the file */
+    int64_t next_row;  /* first row of the chunk being prefetched */
+    float *buf;        /* prefetch destination (owned until handed out) */
+    int64_t buf_rows;
+    pthread_t thr;
+    int thr_running;
+    struct {
+        int fd;
+        float *dst;
+        int64_t off_bytes;
+        int64_t nbytes;
+    } job; /* one in flight per loader (start only after join) */
+} LoaderObject;
+
+typedef struct {
+    int fd;
+    float *dst;
+    int64_t off_bytes;
+    int64_t nbytes;
+} prefetch_job_t;
+
+static void *prefetch_worker(void *arg) {
+    prefetch_job_t *j = (prefetch_job_t *)arg; /* points into the Loader */
+    int64_t done = 0;
+    while (done < j->nbytes) {
+        ssize_t r = pread(j->fd, (char *)j->dst + done,
+                          (size_t)(j->nbytes - done), j->off_bytes + done);
+        if (r <= 0) break; /* short file: remaining rows stay zero */
+        done += r;
+    }
+    return NULL;
+}
+
+static void loader_start_prefetch(LoaderObject *self) {
+    int64_t rows = self->nrec - self->next_row;
+    if (rows <= 0) {
+        self->buf = NULL;
+        self->buf_rows = 0;
+        return;
+    }
+    if (rows > self->chunk_rows) rows = self->chunk_rows;
+    int64_t nbytes = rows * self->ncols * 4;
+    self->buf = (float *)calloc((size_t)nbytes, 1);
+    self->buf_rows = rows;
+    self->job.fd = self->fd;
+    self->job.dst = self->buf;
+    self->job.off_bytes = self->next_row * self->ncols * 4;
+    self->job.nbytes = nbytes;
+    pthread_create(&self->thr, NULL, prefetch_worker, &self->job);
+    self->thr_running = 1;
+    self->next_row += rows;
+}
+
+static void loader_join(LoaderObject *self) {
+    if (self->thr_running) {
+        Py_BEGIN_ALLOW_THREADS
+        pthread_join(self->thr, NULL);
+        Py_END_ALLOW_THREADS;
+        self->thr_running = 0;
+    }
+}
+
+static void buf_capsule_free(PyObject *cap) {
+    free(PyCapsule_GetPointer(cap, NULL));
+}
+
+static PyObject *loader_next_chunk(PyObject *self_o, PyObject *noargs) {
+    /* next() -> float32 (rows, ncols) or None at EOF; kicks off the next
+     * prefetch before returning. */
+    LoaderObject *self = (LoaderObject *)self_o;
+    loader_join(self);
+    if (!self->buf) Py_RETURN_NONE;
+    float *data = self->buf;
+    int64_t rows = self->buf_rows;
+    self->buf = NULL;
+    loader_start_prefetch(self); /* overlap with the caller's compute */
+
+    npy_intp dims[2] = {(npy_intp)rows, (npy_intp)self->ncols};
+    PyArrayObject *arr = (PyArrayObject *)PyArray_SimpleNewFromData(
+        2, dims, NPY_FLOAT32, data);
+    if (!arr) {
+        free(data);
+        return NULL;
+    }
+    PyObject *cap = PyCapsule_New(data, NULL, buf_capsule_free);
+    if (!cap || PyArray_SetBaseObject(arr, cap) != 0) {
+        Py_XDECREF(cap);
+        Py_DECREF(arr);
+        return NULL;
+    }
+    return (PyObject *)arr;
+}
+
+static PyObject *loader_close(PyObject *self_o, PyObject *noargs) {
+    LoaderObject *self = (LoaderObject *)self_o;
+    loader_join(self);
+    free(self->buf);
+    self->buf = NULL;
+    if (self->fd >= 0) close(self->fd);
+    self->fd = -1;
+    Py_RETURN_NONE;
+}
+
+static void loader_dealloc(LoaderObject *self) {
+    loader_join(self);
+    free(self->buf);
+    if (self->fd >= 0) close(self->fd);
+    Py_TYPE(self)->tp_free((PyObject *)self);
+}
+
+static PyMethodDef loader_methods[] = {
+    {"next_chunk", loader_next_chunk, METH_NOARGS,
+     "next_chunk() -> float32 (rows, ncols) or None at EOF."},
+    {"close", loader_close, METH_NOARGS, "join the prefetch thread and close"},
+    {NULL, NULL, 0, NULL}};
+
+static PyTypeObject LoaderType = {
+    PyVarObject_HEAD_INIT(NULL, 0).tp_name = "_hostio.Loader",
+    .tp_basicsize = sizeof(LoaderObject),
+    .tp_dealloc = (destructor)loader_dealloc,
+    .tp_flags = Py_TPFLAGS_DEFAULT,
+    .tp_methods = loader_methods,
+    .tp_doc = "Double-buffered streaming record loader (prefetch thread)."};
+
+static PyObject *hostio_stream_open(PyObject *self, PyObject *args) {
+    /* stream_open(path, ncols, chunk_rows) -> Loader */
+    const char *path;
+    Py_ssize_t ncols, chunk_rows;
+    if (!PyArg_ParseTuple(args, "snn", &path, &ncols, &chunk_rows))
+        return NULL;
+    if (ncols <= 0 || chunk_rows <= 0) {
+        PyErr_SetString(PyExc_ValueError,
+                        "ncols and chunk_rows must be positive");
+        return NULL;
+    }
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) {
+        PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
+        return NULL;
+    }
+    struct stat st;
+    if (fstat(fd, &st) != 0) {
+        close(fd);
+        PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
+        return NULL;
+    }
+    LoaderObject *ld = PyObject_New(LoaderObject, &LoaderType);
+    if (!ld) {
+        close(fd);
+        return NULL;
+    }
+    ld->fd = fd;
+    ld->ncols = ncols;
+    ld->chunk_rows = chunk_rows;
+    ld->nrec = st.st_size / ((int64_t)ncols * 4);
+    ld->next_row = 0;
+    ld->buf = NULL;
+    ld->buf_rows = 0;
+    ld->thr_running = 0;
+    loader_start_prefetch(ld);
+    return (PyObject *)ld;
+}
+
 /* ------------------------------ module --------------------------------- */
 
 static PyMethodDef hostio_methods[] = {
@@ -216,6 +391,9 @@ static PyMethodDef hostio_methods[] = {
      "read_records(path, ncols) -> float32 (N, ncols) from a packed file."},
     {"write_records", hostio_write_records, METH_VARARGS,
      "write_records(path, arr) — write float32 records."},
+    {"stream_open", hostio_stream_open, METH_VARARGS,
+     "stream_open(path, ncols, chunk_rows) -> Loader (double-buffered "
+     "prefetching record stream)."},
     {NULL, NULL, 0, NULL}};
 
 static struct PyModuleDef hostio_module = {
@@ -224,5 +402,14 @@ static struct PyModuleDef hostio_module = {
 
 PyMODINIT_FUNC PyInit__hostio(void) {
     import_array();
-    return PyModule_Create(&hostio_module);
+    if (PyType_Ready(&LoaderType) < 0) return NULL;
+    PyObject *m = PyModule_Create(&hostio_module);
+    if (!m) return NULL;
+    Py_INCREF(&LoaderType);
+    if (PyModule_AddObject(m, "Loader", (PyObject *)&LoaderType) < 0) {
+        Py_DECREF(&LoaderType);
+        Py_DECREF(m);
+        return NULL;
+    }
+    return m;
 }

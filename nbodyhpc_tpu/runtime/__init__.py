@@ -63,6 +63,34 @@ def load_field(path: str) -> np.ndarray:
     return np.fromfile(path, dtype=np.float32).reshape(shape)
 
 
+def stream_particles(path: str, batch_rows: int = 4_000_000):
+    """Yield (positions, weights, radii) batches from packed (x, y, z, w, r)
+    records with double-buffered prefetch: a native reader thread loads
+    batch i+1 while the caller renders batch i — the host analog of the
+    reference's dedicated transfer queue overlapping uploads with compute
+    (rasterization/src/cpp/vulkan_support.cpp:204-237). Falls back to
+    synchronous chunked reads without the C extension."""
+    if HAVE_NATIVE:
+        loader = _hostio.stream_open(path, 5, int(batch_rows))
+        try:
+            while True:
+                rec = loader.next_chunk()
+                if rec is None:
+                    break
+                yield rec[:, :3].copy(), rec[:, 3].copy(), rec[:, 4].copy()
+        finally:
+            loader.close()
+    else:  # pragma: no cover
+        rec_bytes = 5 * 4
+        with open(path, "rb") as f:
+            while True:
+                raw = f.read(int(batch_rows) * rec_bytes)
+                if not raw:
+                    break
+                rec = np.frombuffer(raw, np.float32).reshape(-1, 5)
+                yield rec[:, :3].copy(), rec[:, 3].copy(), rec[:, 4].copy()
+
+
 def generate_uniform(n: int, seed: int = 42, boxsize: float = 1.0,
                      nthreads: int = 0) -> np.ndarray:
     """(n, 3) float32 uniform positions; native path is a threaded

@@ -59,3 +59,36 @@ def test_profiling_timer():
     with timer("x", sink=out.append) as box:
         pass
     assert "seconds" in box and out and out[0].startswith("x:")
+
+
+def test_stream_particles_matches_bulk_load(tmp_path):
+    """The double-buffered streaming loader must reproduce the bulk read,
+    including ragged final batches and multiple concurrent streams."""
+    from nbodyhpc_tpu import runtime
+
+    rng = np.random.Generator(np.random.Philox(23))
+    n = 10_000
+    pos = rng.random((n, 3)).astype(np.float32)
+    w = rng.random(n).astype(np.float32)
+    r = rng.random(n).astype(np.float32)
+    path = str(tmp_path / "parts.bin")
+    runtime.save_particles(path, pos, w, r)
+
+    for batch in (n, 4096, 1000, 3):  # exact, pow2, ragged tail, tiny
+        chunks = list(runtime.stream_particles(path, batch_rows=batch))
+        got_p = np.concatenate([c[0] for c in chunks])
+        got_w = np.concatenate([c[1] for c in chunks])
+        got_r = np.concatenate([c[2] for c in chunks])
+        np.testing.assert_array_equal(got_p, pos)
+        np.testing.assert_array_equal(got_w, w)
+        np.testing.assert_array_equal(got_r, r)
+
+    # two interleaved streams must not interfere (per-loader prefetch state)
+    s1 = runtime.stream_particles(path, batch_rows=2048)
+    s2 = runtime.stream_particles(path, batch_rows=1500)
+    a1 = [next(s1)[1], next(s2)[1], next(s1)[1], next(s2)[1]]
+    assert a1[0].shape == (2048,) and a1[1].shape == (1500,)
+    np.testing.assert_array_equal(a1[2], w[2048:4096])
+    np.testing.assert_array_equal(a1[3], w[1500:3000])
+    s1.close()
+    s2.close()
