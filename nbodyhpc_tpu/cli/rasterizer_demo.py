@@ -50,8 +50,46 @@ def render_single_sphere(grid: int, subsample: int, png: str | None):
 
 
 def render_points_from_file(path: str, grid, ppu: float, subsample: int,
-                            periodic: bool, png: str | None):
+                            periodic: bool, png: str | None,
+                            stream_rows: int = 0):
     from ..rasterizer import render_points_volume
+
+    if stream_rows:
+        # bounded-memory path: the native double-buffered loader prefetches
+        # the next batch while the engine renders the current one, and the
+        # density accumulates across batches (deposition is linear). Files
+        # larger than RAM render fine; periodic wrap still needs whole-file
+        # ghosting, so it uses the bulk path.
+        from ..runtime import stream_particles
+
+        if periodic:
+            raise SystemExit("--stream does not support --periodic "
+                             "(ghost augmentation needs the full set)")
+        vol = None
+        n = 0
+        wsum = 0.0
+        t0 = time.perf_counter()
+        for pos, w, r in stream_particles(path, batch_rows=stream_rows):
+            part = render_points_volume(pos, w, r, ppu, grid,
+                                        subsample_factor=subsample)
+            vol = part if vol is None else vol + part
+            n += len(w)
+            wsum += float(w.sum())
+        dt = time.perf_counter() - t0
+        if vol is None:
+            raise SystemExit(f"{path} contains no particles")
+        print(f"streamed {n} particles from {path} "
+              f"(batches of {stream_rows})")
+        ratio = float(vol.sum()) / wsum
+        print(f"render: {dt:.3f} s ({n/dt/1e6:.2f} Mparticles/s)")
+        print(f"mass conservation rendered/input: {ratio:.6f}")
+        if png:
+            from ..utils.png import write_png_grayscale
+
+            g = vol.shape[2] // 2
+            write_png_grayscale(png, np.log1p(vol[:, :, g]))
+            print(f"wrote {png}")
+        return abs(ratio - 1.0) < 0.1
 
     raw = np.fromfile(path, dtype=np.float32).reshape(-1, 5)
     pos, w, r = raw[:, :3].copy(), raw[:, 3].copy(), raw[:, 4].copy()
@@ -81,12 +119,15 @@ def main(argv=None):
     ap.add_argument("--subsample", type=int, default=4)
     ap.add_argument("--periodic", action="store_true")
     ap.add_argument("--png", type=str, default=None)
+    ap.add_argument("--stream", type=int, default=0, metavar="ROWS",
+                    help="render --file in prefetched batches of ROWS "
+                         "records (bounded memory; non-periodic only)")
     args = ap.parse_args(argv)
 
     ppu = args.pixels_per_unit if args.pixels_per_unit else float(args.grid)
     if args.file:
         ok = render_points_from_file(args.file, args.grid, ppu, args.subsample,
-                                     args.periodic, args.png)
+                                     args.periodic, args.png, args.stream)
     else:
         ok = render_single_sphere(args.grid, args.subsample, args.png)
     return 0 if ok else 1
