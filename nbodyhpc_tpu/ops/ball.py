@@ -1,9 +1,13 @@
 """Fixed-radius (ball) queries: neighbor counts within a radius.
 
 The reference exposes only k-NN, but ball counts are the natural companion for
-kNN-CDF / correlation statistics (see :mod:`nbodyhpc_tpu.utils.stats`). Uses
-the same cell-list candidate machinery as k-NN when the radius is small
-relative to the cell size, and a streaming masked scan otherwise.
+kNN-CDF / correlation statistics (see :mod:`nbodyhpc_tpu.utils.stats`).
+Implementation: a streaming masked scan of the whole (padded) point array per
+query block — O(N x Q), VPU-dense with no data movement, which on TPU beats
+per-cell slicing until Q is small and the radius tiny. A cell-list candidate
+path (as in ops/knn.py) is a possible optimization for that regime; the
+tree's offsets are accepted (and currently unused) so the signature already
+permits it.
 """
 from __future__ import annotations
 

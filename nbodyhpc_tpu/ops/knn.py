@@ -160,22 +160,31 @@ def _cube_pass(tree, meta, queries_w, qcell, k, r, budget, state):
     starts = offsets[ids]
     counts = jnp.where(valid, offsets[ids + 1] - starts, 0)  # [Q, M]
 
-    # cells whose occupancy exceeds the per-cell slice cap are truncated and
-    # force escalation (exactness preserved by later rungs / brute fallback)
-    ccap = budget
-    overflow = jnp.any(valid & (counts > ccap), axis=1)
-    cnt_cl = jnp.minimum(counts, ccap)
-    taken = jnp.sum(cnt_cl, axis=1)
-
     # candidates fetched as contiguous per-cell slices — the sorted cell-list
     # layout makes each cell one run, so this lowers to batched dynamic-slice
     # instead of elementwise random gather (the AVX2 leaf-block scan analog,
     # reference kdtree_opt.hpp:105-248: blocks are scanned contiguously there
-    # for exactly the same reason)
+    # for exactly the same reason). Slices near the padded end clamp their
+    # start; ``delta`` re-aims the validity window at the cell's real rows
+    # so a clamped slice never evaluates the wrong points.
     npad = xyz.shape[1]
-    starts_cl = jnp.minimum(starts, npad - ccap)  # build pads npad beyond n
+    ccap = min(budget, npad)  # a slice can never exceed the padded array
+    starts_cl = jnp.minimum(starts, max(npad - ccap, 0))
+    delta = starts - starts_cl  # >= 0; > 0 only for clamped end-of-array cells
+
+    # cells whose occupancy exceeds the usable slice window are truncated and
+    # force escalation (exactness preserved by later rungs / brute fallback)
+    usable = ccap - delta
+    overflow = jnp.any(valid & (counts > usable), axis=1)
+    cnt_cl = jnp.minimum(counts, usable)
+    taken = jnp.sum(jnp.where(valid, cnt_cl, 0), axis=1)
+
     j_idx = jnp.arange(ccap, dtype=jnp.int32)
-    valid_c = valid[:, :, None] & (j_idx[None, None, :] < cnt_cl[:, :, None])
+    valid_c = (
+        valid[:, :, None]
+        & (j_idx[None, None, :] >= delta[:, :, None])
+        & (j_idx[None, None, :] < (delta + cnt_cl)[:, :, None])
+    )
     slice2 = jax.vmap(jax.vmap(
         lambda arr, s: jax.lax.dynamic_slice(arr, (s,), (ccap,)),
         in_axes=(None, 0)), in_axes=(None, 0))
@@ -198,15 +207,24 @@ def _cube_pass(tree, meta, queries_w, qcell, k, r, budget, state):
     new_d2 = -neg
     new_slot = jnp.take_along_axis(slot, sel, axis=1)
 
-    # distance to nearest unscanned region (complement of the cube)
+    # distance to nearest unscanned region (complement of the cube). A
+    # periodic dimension with side >= C is fully wrapped for EVERY query;
+    # a non-periodic one is fully scanned only when the CLIPPED interval
+    # [a, b] covers [0, C-1] — for a boundary-cell query with
+    # r + 1 < C <= 2r + 1 the far cells are NOT scanned, so coverage must
+    # be evaluated per query (regression: the old static side >= C skip
+    # certified wrong neighbors as converged on small-dims trees).
     side = 2 * r + 1
     db = jnp.full((Q,), jnp.inf, jnp.float32)
+    covered = jnp.ones((Q,), bool)
+    all_dims_coverable = True
     for dim in range(3):
         C = int(dims[dim])
         hd = float(h[dim])
-        if side >= C:
-            continue  # whole dimension scanned
         if periodic:
+            if side >= C:
+                continue  # fully wrapped: no bound from this dimension
+            all_dims_coverable = False
             face_lo = (qcell[:, dim] - r).astype(jnp.float32) * hd + float(lo[dim])
             arc = side * hd
             dlo = queries_w[:, dim] - face_lo
@@ -215,6 +233,7 @@ def _cube_pass(tree, meta, queries_w, qcell, k, r, budget, state):
         else:
             a = jnp.maximum(qcell[:, dim] - r, 0)
             bq = jnp.minimum(qcell[:, dim] + r, C - 1)
+            covered = covered & (a == 0) & (bq == C - 1)
             dlo = jnp.where(
                 a > 0,
                 queries_w[:, dim] - (a.astype(jnp.float32) * hd + float(lo[dim])),
@@ -228,11 +247,9 @@ def _cube_pass(tree, meta, queries_w, qcell, k, r, budget, state):
             db = jnp.minimum(db, jnp.maximum(jnp.minimum(dlo, dhi), 0.0))
 
     kth2 = new_d2[:, -1]
-    full_cover = all(side >= int(dims[dim]) for dim in range(3))
-    if full_cover:
-        new_conv = ~overflow
-    else:
-        new_conv = (~overflow) & (kth2 < db * db)
+    if not all_dims_coverable:
+        covered = jnp.zeros((Q,), bool)
+    new_conv = (~overflow) & ((kth2 < db * db) | covered)
 
     old_d2, old_slot, old_conv, stats = state
     upd = ~old_conv
@@ -245,16 +262,24 @@ def _cube_pass(tree, meta, queries_w, qcell, k, r, budget, state):
     return d2_out, slot_out, conv_out, (cells_scanned, points_visited)
 
 
-def default_ladder(k: int, tree: CellList, budget_cap: int = 16384):
-    """Static (radius, per-cell slice cap) escalation ladder from build stats."""
+def default_ladder(k: int, tree: CellList, budget_cap: int = 2048):
+    """Static (radius, per-cell slice cap) escalation ladder from build stats.
+
+    ``budget_cap`` bounds every rung's per-cell slice cap (memory for one
+    pass scales with cells_in_cube x cap). The rungs themselves are
+    k-independent: a rung whose capped scan truncates a cell flags overflow
+    and escalates, and queries the ladder cannot certify fall through to
+    the exact brute-force pass — so any k is answered exactly.
+    """
     mcc = max(tree.max_cell_count, 1)
+    cap0 = max(int(budget_cap), 1)
     max_dim = int(np.max(tree.dims))
-    rungs = [(1, int(min(mcc, 256)))]
+    rungs = [(1, int(min(mcc, 256, cap0)))]
     if mcc > 256:
         # clustered data: a capacity rung before widening the radius
-        rungs.append((1, int(min(mcc, 2048))))
+        rungs.append((1, int(min(mcc, 2048, cap0))))
     for r, cap in ((2, 128), (4, 64)):
-        rungs.append((r, int(min(mcc, cap))))
+        rungs.append((r, int(min(mcc, cap, cap0))))
         if 2 * r + 1 >= max_dim:
             break
     # dedup identical rungs
@@ -366,7 +391,19 @@ def cell_knn_query(
     if k <= 0:
         raise ValueError("k must be positive")  # reference: pybind.cpp:92-94
 
-    kernel_ok = (
+    if use_kernel == "force" and with_stats:
+        raise ValueError(
+            "with_stats is not available on the kernel path "
+            "(use use_kernel='never' or 'auto')"
+        )
+    # the kernel's block builder wraps 3x3 neighbor columns; with fewer than
+    # 3 cells in a periodic x/y dimension wrapped columns alias and the A/B
+    # dedup would double-count candidates — such (tiny) trees stay on the
+    # exact ladder
+    tiny_wrap = bool(tree.periodic) and (
+        int(tree.dims[0]) < 3 or int(tree.dims[1]) < 3
+    )
+    kernel_ok = not tiny_wrap and (
         use_kernel == "force"
         or (
             use_kernel == "auto"

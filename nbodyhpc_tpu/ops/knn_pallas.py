@@ -174,8 +174,6 @@ def build_blocks(tree, queries_w, qcell):
 
     qmap = np.full(nblocks * QB, -1, np.int64)
     qmap[flat_slot] = np.arange(Q)
-    qblk = np.zeros((nblocks, QB, 4), np.float32)
-    qblk.reshape(-1, 4)[flat_slot, :3] = qs
     valid_slot = (qmap >= 0).reshape(nblocks, QB)
 
     def gatherq(a, fill):
@@ -452,16 +450,23 @@ def query_blocks(tree, tree_dev, queries, k: int, batch_blocks: int = 1024,
     )
 
     # r=1 cube box-distance convergence bound (reference kdtree_impl.hpp:
-    # 239-267 pruning, applied to the complement of the scanned cube)
+    # 239-267 pruning, applied to the complement of the scanned cube). A
+    # periodic dimension with C <= 3 is fully wrapped for every query; a
+    # non-periodic one is fully scanned only when the clipped [a, b]
+    # interval covers [0, C-1] — evaluated PER QUERY (a boundary-cell query
+    # with C = 3 misses the far cell; the old static shortcut certified
+    # wrong neighbors as converged).
     qws = qw[order]
     qcs = qcell[order]
     db = np.full(Q, np.inf)
+    covered = np.ones(Q, bool)
     for dim in range(3):
         C = int(dims[dim])
         hd = float(h[dim])
-        if 3 >= C:
-            continue
         if periodic:
+            if 3 >= C:
+                continue  # fully wrapped: no bound from this dimension
+            covered[:] = False  # an unscanned arc exists for every query
             face = (qcs[:, dim] - 1) * hd + lo[dim]
             dlo = qws[:, dim] - face
             dhi = 3 * hd - dlo
@@ -469,14 +474,19 @@ def query_blocks(tree, tree_dev, queries, k: int, batch_blocks: int = 1024,
         else:
             a = np.maximum(qcs[:, dim] - 1, 0)
             bq = np.minimum(qcs[:, dim] + 1, C - 1)
+            covered &= (a == 0) & (bq == C - 1)
             dlo = np.where(a > 0, qws[:, dim] - (a * hd + lo[dim]), np.inf)
             dhi = np.where(bq < C - 1, ((bq + 1) * hd + lo[dim]) - qws[:, dim],
                            np.inf)
             db = np.minimum(db, np.maximum(np.minimum(dlo, dhi), 0.0))
-    full_cover = all(3 >= int(dims[d]) for d in range(3))
     kth2 = d2_s[:, -1].astype(np.float64)
-    conv = np.ones(Q, bool) if full_cover else kth2 < db * db
+    conv = (kth2 < db * db) | covered
     conv &= ~flagged[piece_of_q]
+    if periodic and (int(dims[0]) < 3 or int(dims[1]) < 3):
+        # wrapped 3x3 neighbor columns alias when an x/y dimension has
+        # fewer than 3 cells, duplicating candidates — defer such (tiny)
+        # trees entirely to the exact ladder
+        conv[:] = False
 
     # back to caller order
     inv = np.empty(Q, np.int64)

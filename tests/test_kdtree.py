@@ -9,6 +9,7 @@ import pytest
 import scipy.spatial
 
 from nbodyhpc_tpu.kdtree import KDTree
+from nbodyhpc_tpu.ops import knn as _knn
 
 
 def _random_points(n, seed, box=1.0):
@@ -220,3 +221,61 @@ def test_device_build_matches_host_build():
     rd = knn.cell_knn_query(td, td.dev, q, 4)
     np.testing.assert_array_equal(rh.indices, rd.indices)
     np.testing.assert_allclose(rh.distances, rd.distances, rtol=1e-6)
+
+
+def test_boundary_cell_convergence_small_dims():
+    """Regression: with r+1 < C <= 2r+1 cells in a non-periodic dimension, a
+    boundary-cell query's clipped cube misses the far cells; the old static
+    'side >= C means fully scanned' shortcut certified a wrong neighbor as
+    converged. The bound must be evaluated per query."""
+    # 216 uniform-ish points -> dims (3, 3, 3); plant a decoy inside the
+    # query's r=1 cube and the true nearest in the unscanned far cell
+    rng = np.random.Generator(np.random.Philox(99))
+    pts = (rng.random((216, 3)) * 0.98 + 0.01).astype(np.float32)
+    pts[214] = (0.70, 0.50, 0.50)   # true nearest (far x-cell)
+    pts[215] = (0.30, 0.95, 0.50)   # decoy inside the cube
+    q = np.array([[0.30, 0.50, 0.50]], np.float32)
+    tree = KDTree(pts)
+    d, i = tree.query(q, k=1)
+    from scipy.spatial import KDTree as SKD
+
+    dref, iref = SKD(pts.astype(np.float64)).query(q, k=1)
+    np.testing.assert_allclose(d[:, 0], dref, rtol=1e-6)
+    np.testing.assert_array_equal(i[:, 0], iref)
+
+
+def test_kernel_path_tiny_periodic_dims_no_duplicates():
+    """Regression: periodic trees with < 3 cells in x/y alias wrapped
+    neighbor columns in the kernel's block builder (duplicate candidates);
+    such trees must be answered by the exact ladder instead."""
+    rng = np.random.Generator(np.random.Philox(7))
+    pts = rng.random((64, 3), dtype=np.float32)  # dims ~ (2, 2, 2)
+    tree = KDTree(pts, boxsize=1.0)
+    q = pts[:8]
+    res = _knn.cell_knn_query(
+        tree._tree, tree._dev, q, 4, use_kernel="force"
+    )
+    from scipy.spatial import KDTree as SKD
+
+    dref, iref = SKD(pts.astype(np.float64), boxsize=1.0).query(q, k=4)
+    np.testing.assert_allclose(res.distances, dref, rtol=1e-5, atol=1e-6)
+    # no duplicate neighbors within a row
+    for row in res.indices:
+        assert len(set(row.tolist())) == len(row)
+
+
+def test_large_ladder_budget_end_of_array_cells():
+    """Regression: a user ladder rung with budget beyond the array padding
+    clamped its slice start and evaluated the wrong points for cells at the
+    end of the sorted array."""
+    rng = np.random.Generator(np.random.Philox(5))
+    pts = rng.random((3000, 3), dtype=np.float32)
+    tree = KDTree(pts)
+    q = pts[:64]
+    res = _knn.cell_knn_query(
+        tree._tree, tree._dev, q, 4, ladder=((1, 4096), (4, 4096)),
+        use_kernel="never",
+    )
+    dref, iref = tree.query(q, k=4)
+    np.testing.assert_allclose(res.distances, dref, rtol=1e-6)
+    np.testing.assert_array_equal(res.indices, iref)
