@@ -73,6 +73,20 @@ class CellList:
     def ncells(self) -> int:
         return int(np.prod(self.dims))
 
+    @property
+    def meta_static(self):
+        """Hashable static metadata consumed by the traced query builders
+        (``ops.knn._make_query_fn`` / ``_compiled_query``) — one definition
+        so every call site shares the same jit-cache key layout."""
+        return (
+            tuple(int(d) for d in self.dims),
+            tuple(float(v) for v in self.lo),
+            tuple(float(v) for v in self.cell_size),
+            bool(self.periodic),
+            int(self.n),
+            int(self.xyz.shape[1]),
+        )
+
     def index_host(self) -> np.ndarray:
         """Host copy of the slot->original-index map (cached; the device
         build keeps ``index`` on-device to avoid an eager 4B/point transfer)."""

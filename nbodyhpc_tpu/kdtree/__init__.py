@@ -135,14 +135,7 @@ class KDTree:
         if k <= 0:
             raise ValueError("k must be positive")
         t = self._tree
-        meta_static = (
-            tuple(int(d) for d in t.dims),
-            tuple(float(v) for v in t.lo),
-            tuple(float(v) for v in t.cell_size),
-            bool(t.periodic),
-            int(t.n),
-            int(t.xyz.shape[1]),
-        )
+        meta_static = t.meta_static
         ladder = _knn.default_ladder(k, t)
         fn = _knn._compiled_query(meta_static, ladder, k, True, False)
         xyz, index, offsets = self._dev

@@ -434,14 +434,7 @@ def cell_knn_query(
         return KnnResult(dist, gidx, None)
     if ladder is None:
         ladder = default_ladder(k, tree)
-    meta_static = (
-        tuple(int(d) for d in tree.dims),
-        tuple(float(v) for v in tree.lo),
-        tuple(float(v) for v in tree.cell_size),
-        bool(tree.periodic),
-        int(tree.n),
-        int(tree.xyz.shape[1]),
-    )
+    meta_static = tree.meta_static
     fn = _compiled_query(meta_static, tuple(ladder), int(k), bool(with_fallback), bool(with_stats))
     xyz, index, offsets = tree_dev
 

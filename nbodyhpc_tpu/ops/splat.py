@@ -49,14 +49,6 @@ def required_halfwidth(max_rpx: float) -> int:
     return int(math.ceil(max(max_rpx, 0.0))) + 3
 
 
-def subcell_offsets(subsample: int) -> np.ndarray:
-    """(S^3, 3) sub-cell center offsets within a unit voxel, matching the
-    fragment shader's loop order (triangle.frag:28-42)."""
-    u = (np.arange(subsample) + 0.5) / subsample
-    g = np.stack(np.meshgrid(u, u, u, indexing="ij"), axis=-1)
-    return g.reshape(-1, 3).astype(np.float32)
-
-
 def footprint_values(ppx, w, rpx, halfwidth: int, subsample: int):
     """Per-particle footprint contributions on a static (F, F, F) window.
 
@@ -180,12 +172,17 @@ def footprint_values_2d(ppx, w, rpx, ppu: float, halfwidth: int, subsample: int)
     ay = (dy[:, :, None] - u[None, None, :]) ** 2
     az = (dz[:, None] - u[None, :]) ** 2  # (C, S)
     r2 = rpx**2
-    # loop over (x, z) sub-cells, vectorize y over (F, S)
+    # loop over (x, z) sub-cells, vectorize y over (F, S) — the compare uses
+    # the SHARED association az < r2 - (ax + ay) (CLAUDE.md invariant: the
+    # 3D oracle splat.py and the Pallas engine pin this exact f32 rounding;
+    # the engine-backed 2D route is validated against this oracle)
     count = jnp.zeros((ppx.shape[0], F, F), jnp.float32)
     for a in range(subsample):
+        rab = r2[:, None, None, None] - (
+            ax[:, :, a][:, :, None, None] + ay[:, None, :, :]
+        )
         for c in range(subsample):
-            m = ax[:, :, a][:, :, None, None] + az[:, c][:, None, None, None]
-            inside = (m + ay[:, None, :, :]) < r2[:, None, None, None]
+            inside = az[:, c][:, None, None, None] < rab
             count = count + jnp.sum(inside, axis=-1, dtype=jnp.float32)
     overlap = count / float(subsample**3)
 

@@ -264,14 +264,7 @@ def knn_query_sharded(tree: CellList, tree_dev, queries, k: int,
     qpad[:Q] = queries
 
     ladder = _knn.default_ladder(k, tree)
-    meta_static = (
-        tuple(int(d) for d in tree.dims),
-        tuple(float(v) for v in tree.lo),
-        tuple(float(v) for v in tree.cell_size),
-        bool(tree.periodic),
-        int(tree.n),
-        int(tree.xyz.shape[1]),
-    )
+    meta_static = tree.meta_static
     fn = _knn._make_query_fn(meta_static, ladder, k, True, False)
 
     mapped = shard_map(

@@ -39,29 +39,32 @@ def knn_cdf_sharded(tree: CellList, tree_dev, k, radii, n_queries: int = 65536,
     else:
         lo = tree.lo.astype(np.float64)
         hi = lo + tree.cell_size.astype(np.float64) * tree.dims
-    qloc = round_up(max((n_queries + nd - 1) // nd, 1), 8)
+    ladder = _knn.default_ladder(kmax, tree)
+    # bound peak memory like cell_knn_query does: one ladder pass
+    # materializes [chunk, cells_in_cube * cap] candidates, so the per-device
+    # shard is processed in lax.map chunks instead of one monolithic pass
+    bmax = max(((2 * r + 1) ** 3) * c for r, c in ladder)
+    ch = int(min(max((n_queries + nd - 1) // nd, 1),
+                 max(2048, (1 << 25) // bmax)))
+    ch = round_up(ch, 8)
+    qloc = round_up(max((n_queries + nd - 1) // nd, 1), ch)
     q = (lo + rng.random((nd * qloc, 3)) * (hi - lo)).astype(np.float32)
 
-    ladder = _knn.default_ladder(kmax, tree)
-    meta_static = (
-        tuple(int(d) for d in tree.dims),
-        tuple(float(v) for v in tree.lo),
-        tuple(float(v) for v in tree.cell_size),
-        bool(tree.periodic),
-        int(tree.n),
-        int(tree.xyz.shape[1]),
-    )
-    qfn = _knn._make_query_fn(meta_static, ladder, kmax, True, False)
+    qfn = _knn._make_query_fn(tree.meta_static, ladder, kmax, True, False)
     r_j = jnp.asarray(radii)
     kidx = jnp.asarray([kk - 1 for kk in ks])
 
     def shard_fn(xyz, index, offsets, queries):
-        dist, _ = qfn(xyz, index, offsets, queries)
-        kth = dist[:, kidx]  # [qloc, nk]
-        hist = jnp.sum(
-            (kth[:, :, None] <= r_j[None, None, :]).astype(jnp.float32), axis=0
-        )
-        return jax.lax.psum(hist, axis)
+        def one(qc):
+            dist, _ = qfn(xyz, index, offsets, qc)
+            kth = dist[:, kidx]  # [ch, nk]
+            return jnp.sum(
+                (kth[:, :, None] <= r_j[None, None, :]).astype(jnp.float32),
+                axis=0,
+            )
+
+        hists = jax.lax.map(one, queries.reshape(-1, ch, 3))
+        return jax.lax.psum(jnp.sum(hists, axis=0), axis)
 
     mapped = shard_map(
         shard_fn,

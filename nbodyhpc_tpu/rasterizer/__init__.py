@@ -53,7 +53,7 @@ def _normalize_extent_3d(extent: Extent3d) -> Tuple[int, int, int]:
 def _normalize_period(deduced, period: PeriodT):
     """bool -> deduced box or disabled; scalar -> cubic; 2-tuple -> 2D;
     3-tuple -> per-dim (negative disables). Reference __init__.py:27-39."""
-    if isinstance(period, bool):
+    if isinstance(period, (bool, np.bool_)):
         return tuple(deduced) if period else (-1.0, -1.0, -1.0)
     if isinstance(period, (int, float, np.floating, np.integer)):
         p = float(period)
@@ -67,9 +67,15 @@ def _normalize_period(deduced, period: PeriodT):
 class Container:
     """Runtime context: the analog of the reference's ``VulkanContainer``.
 
-    Owns the accelerator device and global caches. ``enable_validation_layers``
-    maps to JAX runtime checking (jit-disabled eager + NaN checks), the moral
-    equivalent of ``VK_LAYER_KHRONOS_validation`` (vulkan_support.cpp:132-148).
+    Owns the accelerator device (renders run under
+    ``jax.default_device(container.device)``) and the compiled-kernel
+    caches. ``enable_validation_layers`` maps to JAX NaN checking, the
+    moral equivalent of ``VK_LAYER_KHRONOS_validation``
+    (vulkan_support.cpp:132-148). Note: like the reference's validation
+    layer (an instance-wide Vulkan messenger), the NaN check is
+    PROCESS-GLOBAL (``jax_debug_nans``) and stays enabled until
+    explicitly turned off — it is a debugging mode, not a per-render
+    switch.
     """
 
     def __init__(self, enable_validation_layers: bool = False, device=None):
@@ -82,6 +88,11 @@ class Container:
             # validation layer: NaN propagation in any jitted computation
             # raises instead of silently corrupting the field
             jax.config.update("jax_debug_nans", True)
+
+    def device_ctx(self):
+        import jax
+
+        return jax.default_device(self.device)
 
     def __repr__(self):
         return f"Container(device={self.device}, validation={self.validation})"
@@ -155,6 +166,7 @@ class PointRenderer:
         positions, weights, radii = self._prepare(positions, weights, radii, period)
         import jax
 
+        ctx = self.container.device_ctx()
         use_pallas = self.engine == "pallas" or (
             self.engine == "auto"
             and positions.shape[0] >= 200_000
@@ -165,29 +177,38 @@ class PointRenderer:
 
             ppu = float(pixels_per_unit)
             pos2 = np.array(positions, np.float32, copy=True)
+            weights = np.asarray(weights, np.float32)
             # big particles: the 2D slab is one PIXEL thick around z=0
             # (fragment corner at -0.5 px) == 3D voxel 0 shifted half a
             # pixel. Sub-pixel particles: the reference's z-select is
-            # +-0.5 UNITS (splat.py footprint_values_2d:146-200), so their
-            # engine z must land in pixel-voxel 0 exactly when
-            # z_units in (-0.5, 0.5].
+            # +-0.5 UNITS (splat.py footprint_values_2d): evaluate that
+            # predicate HERE with the oracle's exact f32 expression (a z
+            # remap would double-round and could move a boundary particle's
+            # whole weight across the slice edge), then park selected
+            # particles safely mid-slab and zero the rest.
             is_sub = radii * np.float32(ppu) < 0.5
+            zpx = positions[:, 2] * np.float32(ppu)
+            zu = zpx * np.float32(1.0 / ppu)
+            zsel = (zu > np.float32(-0.5)) & (zu <= np.float32(0.5))
             pos2[:, 2] = np.where(
                 is_sub,
-                (positions[:, 2] + np.float32(0.5)) / np.float32(ppu),
+                np.float32(0.5 / ppu),  # mid-slab: always pixel-voxel 0
                 positions[:, 2] + np.float32(0.5 / ppu),
             )
-            img = np.asarray(
-                splat_pallas.splat_volume(
-                    pos2, weights, radii, ppu, (self._nx, self._ny, 1),
-                    self.subsample_factor,
-                )
-            )[:, :, 0]
+            weights = np.where(is_sub & ~zsel, np.float32(0.0), weights)
+            with ctx:
+                img = np.asarray(
+                    splat_pallas.splat_volume(
+                        pos2, weights, radii, ppu, (self._nx, self._ny, 1),
+                        self.subsample_factor,
+                    )
+                )[:, :, 0]
         else:
-            img = _splat.splat_2d_oracle(
-                positions, weights, radii, float(pixels_per_unit),
-                (self._nx, self._ny), self.subsample_factor,
-            )
+            with ctx:
+                img = _splat.splat_2d_oracle(
+                    positions, weights, radii, float(pixels_per_unit),
+                    (self._nx, self._ny), self.subsample_factor,
+                )
         return np.asfortranarray(img)
 
     def render_points_volume(self, positions, weights, radii, num_slices: int,
@@ -206,15 +227,17 @@ class PointRenderer:
         if use_pallas:
             from ..ops import splat_pallas
 
-            vol = splat_pallas.splat_volume(
+            with self.container.device_ctx():
+                vol = splat_pallas.splat_volume(
+                    positions, weights, radii, float(pixels_per_unit), grid,
+                    self.subsample_factor,
+                )
+            return np.asfortranarray(vol)
+        with self.container.device_ctx():
+            vol = _splat.splat_volume_oracle(
                 positions, weights, radii, float(pixels_per_unit), grid,
                 self.subsample_factor,
             )
-            return np.asfortranarray(vol)
-        vol = _splat.splat_volume_oracle(
-            positions, weights, radii, float(pixels_per_unit), grid,
-            self.subsample_factor,
-        )
         return np.asfortranarray(vol)
 
 

@@ -38,7 +38,16 @@ def knn_cdf(points, k=(1, 2, 4, 8), n_queries: int = 100_000, radii=None,
     kth = dist[:, [kk - 1 for kk in ks]]  # (Q, len(ks))
 
     if radii is None:
-        rmax = float(np.percentile(kth[:, -1], 99.5))
+        # range from the LARGEST k's distances (ks may be in any order), and
+        # from finite ones only (k > n fills missing neighbors with inf)
+        dmax = dist[:, kmax - 1]
+        finite = dmax[np.isfinite(dmax)]
+        if finite.size == 0:
+            raise ValueError(
+                f"cannot derive a radii grid: k={kmax} exceeds the point "
+                "count; pass radii explicitly"
+            )
+        rmax = float(np.percentile(finite, 99.5))
         radii = np.linspace(0.0, rmax, 64)
     radii = np.asarray(radii, np.float64)
 
