@@ -16,6 +16,7 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <errno.h>
 #include <fcntl.h>
 #include <pthread.h>
 #include <stdint.h>
@@ -69,14 +70,17 @@ static void *gen_worker(void *arg) {
     int64_t first_blk = j->start / 4;
     int64_t last = j->start + j->count;
     int64_t last_blk = (last + 3) / 4;
-    const float inv = 1.0f / 4294967296.0f; /* 2^-32: value in [0, 1) */
+    /* top 24 bits * 2^-24: every uint32 maps to a float STRICTLY below 1
+     * (a raw (float)u32 * 2^-32 rounds values near 2^32 up to 1.0f, which
+     * would emit exactly `scale` and break the [0, scale) contract) */
+    const float inv = 1.0f / 16777216.0f;
     for (int64_t b = first_blk; b < last_blk; ++b) {
         uint32_t ctr[4] = {(uint32_t)b, (uint32_t)(b >> 32), 0u, 0u};
         philox4x32_10(ctr, (uint32_t)j->seed, (uint32_t)(j->seed >> 32));
         for (int q = 0; q < 4; ++q) {
             int64_t idx = b * 4 + q;
             if (idx >= j->start && idx < last)
-                j->out[idx] = (float)ctr[q] * inv * j->scale;
+                j->out[idx] = (float)(ctr[q] >> 8) * inv * j->scale;
         }
     }
     return NULL;
@@ -150,6 +154,13 @@ static PyObject *hostio_read_records(PyObject *self, PyObject *args) {
     if (fstat(fd, &st) != 0) {
         close(fd);
         PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
+        return NULL;
+    }
+    if (st.st_size % ((int64_t)ncols * 4) != 0) {
+        close(fd);
+        PyErr_Format(PyExc_ValueError,
+                     "%s: size %lld is not a multiple of the %zd-float "
+                     "record width", path, (long long)st.st_size, ncols);
         return NULL;
     }
     int64_t nrec = st.st_size / ((int64_t)ncols * 4);
@@ -229,6 +240,7 @@ typedef struct {
         float *dst;
         int64_t off_bytes;
         int64_t nbytes;
+        int error; /* errno from a failed/short pread; 0 on success */
     } job; /* one in flight per loader (start only after join) */
 } LoaderObject;
 
@@ -237,15 +249,24 @@ typedef struct {
     float *dst;
     int64_t off_bytes;
     int64_t nbytes;
+    int error; /* errno from a failed/short pread; 0 on success */
 } prefetch_job_t;
 
 static void *prefetch_worker(void *arg) {
     prefetch_job_t *j = (prefetch_job_t *)arg; /* points into the Loader */
     int64_t done = 0;
+    j->error = 0;
     while (done < j->nbytes) {
         ssize_t r = pread(j->fd, (char *)j->dst + done,
                           (size_t)(j->nbytes - done), j->off_bytes + done);
-        if (r <= 0) break; /* short file: remaining rows stay zero */
+        if (r < 0) {
+            j->error = errno ? errno : EIO;
+            return NULL;
+        }
+        if (r == 0) { /* file shrank under us: do NOT fabricate rows */
+            j->error = EIO;
+            return NULL;
+        }
         done += r;
     }
     return NULL;
@@ -260,13 +281,25 @@ static void loader_start_prefetch(LoaderObject *self) {
     }
     if (rows > self->chunk_rows) rows = self->chunk_rows;
     int64_t nbytes = rows * self->ncols * 4;
-    self->buf = (float *)calloc((size_t)nbytes, 1);
+    self->buf = (float *)malloc((size_t)nbytes);
+    if (!self->buf) {
+        self->buf_rows = 0;
+        self->job.error = ENOMEM;
+        return;
+    }
     self->buf_rows = rows;
     self->job.fd = self->fd;
     self->job.dst = self->buf;
     self->job.off_bytes = self->next_row * self->ncols * 4;
     self->job.nbytes = nbytes;
-    pthread_create(&self->thr, NULL, prefetch_worker, &self->job);
+    self->job.error = 0;
+    if (pthread_create(&self->thr, NULL, prefetch_worker, &self->job) != 0) {
+        free(self->buf);
+        self->buf = NULL;
+        self->buf_rows = 0;
+        self->job.error = EAGAIN;
+        return;
+    }
     self->thr_running = 1;
     self->next_row += rows;
 }
@@ -289,6 +322,13 @@ static PyObject *loader_next_chunk(PyObject *self_o, PyObject *noargs) {
      * prefetch before returning. */
     LoaderObject *self = (LoaderObject *)self_o;
     loader_join(self);
+    if (self->job.error) {
+        errno = self->job.error;
+        self->job.error = 0;
+        free(self->buf);
+        self->buf = NULL;
+        return PyErr_SetFromErrno(PyExc_OSError);
+    }
     if (!self->buf) Py_RETURN_NONE;
     float *data = self->buf;
     int64_t rows = self->buf_rows;
@@ -303,8 +343,13 @@ static PyObject *loader_next_chunk(PyObject *self_o, PyObject *noargs) {
         return NULL;
     }
     PyObject *cap = PyCapsule_New(data, NULL, buf_capsule_free);
-    if (!cap || PyArray_SetBaseObject(arr, cap) != 0) {
-        Py_XDECREF(cap);
+    if (!cap) {
+        Py_DECREF(arr); /* arr does not own data yet; free it ourselves */
+        free(data);
+        return NULL;
+    }
+    if (PyArray_SetBaseObject(arr, cap) != 0) {
+        /* SetBaseObject steals the capsule reference even on failure */
         Py_DECREF(arr);
         return NULL;
     }
@@ -364,6 +409,13 @@ static PyObject *hostio_stream_open(PyObject *self, PyObject *args) {
         PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
         return NULL;
     }
+    if (st.st_size % ((int64_t)ncols * 4) != 0) {
+        close(fd);
+        PyErr_Format(PyExc_ValueError,
+                     "%s: size %lld is not a multiple of the %zd-float "
+                     "record width", path, (long long)st.st_size, ncols);
+        return NULL;
+    }
     LoaderObject *ld = PyObject_New(LoaderObject, &LoaderType);
     if (!ld) {
         close(fd);
@@ -377,6 +429,7 @@ static PyObject *hostio_stream_open(PyObject *self, PyObject *args) {
     ld->buf = NULL;
     ld->buf_rows = 0;
     ld->thr_running = 0;
+    ld->job.error = 0;
     loader_start_prefetch(ld);
     return (PyObject *)ld;
 }

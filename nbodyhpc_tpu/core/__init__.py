@@ -1,1 +1,1 @@
-from . import cells, morton, points  # noqa: F401
+from . import cells, points  # noqa: F401

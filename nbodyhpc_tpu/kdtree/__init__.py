@@ -7,7 +7,7 @@ boxsize=None)`` with ``.query(points, k=1, workers=1)`` returning
 ``(distances float32 ascending, indices uint32)``, plus the ``n``/``size``/
 ``periodic``/``boxsize`` properties.
 
-Internally this is not a kd-tree: it is a Morton/cell-list engine with batched
+Internally this is not a kd-tree: it is a sorted cell-list engine with batched
 expanding-cube queries (see :mod:`nbodyhpc_tpu.ops.knn`), which is the
 TPU-native design — but the name and contract are preserved so reference users
 can switch without code changes.

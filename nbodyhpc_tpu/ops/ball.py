@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.cells import CellList
+from .metrics import wrap_min_image
 
 
 @functools.lru_cache(maxsize=32)
@@ -32,8 +33,7 @@ def _compiled_count(npad, n, periodic, box, block):
                 px = jax.lax.dynamic_slice(xyz, (dim, i * block), (1, block))
                 d = q[:, dim : dim + 1] - px
                 if periodic:
-                    L = float(box[dim])
-                    d = d - L * jnp.round(d * (1.0 / L))
+                    d = wrap_min_image(d, float(box[dim]))
                 d2 = d2 + d * d
             slot = i * block + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
             ok = (d2 <= r2[:, None]) & (slot < n)

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.cells import CellList
+from .metrics import wrap_min_image
 
 
 class QueryStatistics(NamedTuple):
@@ -99,8 +100,7 @@ def _streaming_brute_pass(xyz, n, queries_w, k, box, block: int = 2048):
             px = jax.lax.dynamic_slice(xyz, (dim, sl), (1, block))  # [1, block]
             d = q[:, dim : dim + 1] - px
             if box is not None:
-                L = float(np.asarray(box).reshape(-1)[dim])
-                d = d - L * jnp.round(d * (1.0 / L))
+                d = wrap_min_image(d, float(np.asarray(box).reshape(-1)[dim]))
             d2 = d2 + d * d
         slot = sl + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
         valid = slot < n
@@ -193,8 +193,7 @@ def _cube_pass(tree, meta, queries_w, qcell, k, r, budget, state):
         px = slice2(xyz[dim], starts_cl)  # [Q, M, ccap]
         d = queries_w[:, dim, None, None] - px
         if periodic:  # min-image wrap, reference kdtree.hpp:66-87
-            L = float(dims[dim]) * float(h[dim])
-            d = d - L * jnp.round(d * (1.0 / L))
+            d = wrap_min_image(d, float(dims[dim]) * float(h[dim]))
         d2 = d2 + d * d
     d2 = jnp.where(valid_c, d2, jnp.inf).reshape(Q, M * ccap)
     slot = (starts_cl[:, :, None] + j_idx[None, None, :]).reshape(Q, M * ccap)

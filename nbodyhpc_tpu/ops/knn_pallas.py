@@ -24,6 +24,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .metrics import wrap_min_image as _wrap_min_image
+
 QB = 128          # queries per block
 NRUNS = 36        # run slots (2 columns x 9 neighbors x 2 periodic z-splits)
 RCAP = 256        # candidates per run (128-multiple; run overflow -> flag)
@@ -89,8 +91,7 @@ def _knn_kernel(runs_ref, q_ref, xyz_ref, out_ref, cand, sems,
             for dim, q in ((0, qx), (1, qy), (2, qz)):
                 d = q - rolled[dim, :RCAP][None, :]
                 if periodic:
-                    L = float(box[dim])
-                    d = d - L * jnp.round(d * (1.0 / L))
+                    d = _wrap_min_image(d, float(box[dim]))
                 d2 = d2 + d * d
             val = jnp.where(lane < ln, d2, jnp.inf)
             acc = jnp.where(qg == float(g), val, acc)

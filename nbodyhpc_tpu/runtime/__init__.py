@@ -1,8 +1,11 @@
 """Host runtime: particle file IO and fast data generation.
 
 Dispatches to the native ``_hostio`` C extension (csrc/hostio.c — mmap'd
-loads, threaded Philox4x32 generation) when built, with numpy fallbacks so
-the framework works everywhere. File formats mirror the reference CLIs:
+loads, threaded Philox4x32 generation, double-buffered streaming) when
+built, with numpy fallbacks so the framework works everywhere. Both paths
+agree on error behavior: files whose size is not a record multiple raise
+(native validates at open; the fallback's reshape errors), and short reads
+raise instead of fabricating rows. File formats mirror the reference CLIs:
 packed float32 ``(x, y, z)`` triples (reference: kdtree/src/cpp/
 main.cpp:103-114) and packed ``(x, y, z, weight, radius)`` records
 (rasterization/src/cpp/main.cpp:86-101).

@@ -279,3 +279,22 @@ def test_large_ladder_budget_end_of_array_cells():
     dref, iref = tree.query(q, k=4)
     np.testing.assert_allclose(res.distances, dref, rtol=1e-6)
     np.testing.assert_array_equal(res.indices, iref)
+
+
+def test_metrics_zero_box_degrades_to_plain_l2():
+    """The min-image wrap with a non-positive box length must degrade to the
+    plain metric (reference L2PeriodicDistance's min-selection does at L=0)
+    instead of producing NaN from a division by zero."""
+    import jax.numpy as jnp
+
+    from nbodyhpc_tpu.ops import metrics
+
+    a = jnp.asarray([[0.9, 0.2, 0.7]], jnp.float32)
+    b = jnp.asarray([[0.1, 0.9, 0.1]], jnp.float32)
+    d_mixed = metrics.squared_l2_periodic(a, b, (1.0, 1.0, 0.0))
+    dx = 0.8 - 1.0  # wrapped
+    dy = -0.7 + 1.0
+    dz = 0.6        # unwrapped (disabled dimension)
+    expect = np.float32(dx) ** 2 + np.float32(dy) ** 2 + np.float32(dz) ** 2
+    assert np.isfinite(float(d_mixed[0]))
+    np.testing.assert_allclose(float(d_mixed[0]), expect, rtol=1e-6)
