@@ -1,17 +1,39 @@
 """Headline benchmark: variable-radius sphere-splat rasterization on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Baseline (BASELINE.md): the reference Vulkan rasterizer deposits a CAMELS
 snapshot of 1.68e7 particles into a 1024^3 grid (16 samples/voxel) in ~2.5 s
 on an RTX 6000 => 6.7e6 particles/s. vs_baseline is our particles/s over that
 reference throughput on the equivalent workload (variable radii, periodic
 box, 1024^3 grid, subsample 4).
+
+The radius distribution is an UNCLIPPED lognormal around the mean
+interparticle spacing (the CAMELS-like regime the reference README describes,
+rasterization/README.md:27-31): the tail runs through the 16^3 Pallas bucket
+((3, 7] px) and into the dense large-radius pass (> 7 px), so every radius
+class the framework serves is inside the timed region — no radius gaming.
+
+mass_ratio: the deposition semantics themselves (subcell-center counting /
+exact sphere volume, reference triangle.frag:25-45 + triangle.vert:41-45)
+deposit slightly under w per particle at small radii — measured 0.9983 for
+the ORACLE alone on this exact distribution (PERF.md), so a headline
+mass_ratio ~0.998 is deposition quantization shared with the reference, not
+dropped particles. mass_ratio_expected reports the quantization predicted by
+the un-gridded footprint integral on a device-evaluated sample, making the
+attribution part of the bench artifact.
+
+Secondary k-NN metric (BENCH_KNN=0 skips): the PERF.md §2 workload — 1e7-
+point tree build + 5e5 self-queries k=16 end-to-end through the public
+KDTree API (reference harness: kdtree/src/cpp/main.cpp:130-174; measured
+proxy baseline on this host: scipy cKDTree 8,862 q/s, build 52 s — PERF.md).
+End-to-end numbers ride the axon tunnel, whose bandwidth swings 2-4x day to
+day, so the artifact includes its own control: ``tunnel_h2d_mbs`` times a raw
+50 MB upload immediately before the kNN runs. Never interpret knn_qps_e2e
+without it.
 """
 import json
-import math
 import os
-import sys
 import time
 
 REF_PARTICLES_PER_S = 1.68e7 / 2.5
@@ -22,30 +44,33 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import functools
+
     import jax.numpy as jnp
     import numpy as np
 
     from nbodyhpc_tpu.ops import splat_pallas
     from nbodyhpc_tpu.ops.ghosts import augment_points_periodic
+    from nbodyhpc_tpu.ops.splat import footprint_values, required_halfwidth
 
     n = int(float(os.environ.get("BENCH_N", 1e8)))
     grid = int(os.environ.get("BENCH_GRID", 1024))
     ppu = float(grid)  # unit box
 
     rng = np.random.Generator(np.random.Philox(12345))
-    # CAMELS-like: positions uniform-ish, radii around the mean interparticle
-    # spacing (~ grid / n^(1/3) pixels), clipped to the fast-path bucket
+    # CAMELS-like: positions uniform-ish, radii lognormal around the mean
+    # interparticle spacing (~ grid / n^(1/3) pixels), UNclipped above —
+    # the tail exercises the G16 bucket and the dense > 7 px pass
     pos = rng.random((n, 3), dtype=np.float32)
     w = np.ones(n, np.float32)
     spacing_px = grid / n ** (1.0 / 3.0)
-    r = (
-        np.clip(
-            rng.lognormal(0.0, 0.35, n).astype(np.float32) * spacing_px,
-            0.1,
-            3.0,
-        )
-        / ppu
-    ).astype(np.float32)
+    rpx = np.maximum(
+        rng.lognormal(0.0, 0.35, n).astype(np.float32) * spacing_px, 0.1
+    )
+    r = (rpx / ppu).astype(np.float32)
+    r_max = float(rpx.max())
+    pct_mid = float(np.mean((rpx > 3.0) & (rpx <= 7.0)) * 100.0)
+    pct_huge = float(np.mean(rpx > 7.0) * 100.0)
 
     # periodic ghost augmentation + upload happen OUTSIDE the timed region,
     # matching the reference's methodology: its 2.5 s headline excludes the
@@ -70,6 +95,30 @@ def main():
     total = render(gpj, gwj, grj)
     elapsed = time.time() - t0
 
+    # mass-quantization audit: expected deposited-mass ratio from the
+    # footprint evaluator on an un-gridded sample (centered windows, no
+    # clipping), chunked to bound the (C, F, F, F) transient
+    ns, cs = 8192, 512
+    hw = required_halfwidth(float(rpx[:ns].max()))
+
+    @functools.partial(jax.jit, static_argnames=("hw",))
+    def _chunk_mass(ppx, ww, rr, hw):
+        _, vals = footprint_values(ppx, ww, rr, hw, 4)
+        return jnp.sum(vals, dtype=jnp.float32)
+
+    dep = sum(
+        float(
+            _chunk_mass(
+                jnp.asarray(pos[i : i + cs] * ppu),
+                jnp.asarray(w[i : i + cs]),
+                jnp.asarray(rpx[i : i + cs]),
+                hw,
+            )
+        )
+        for i in range(0, ns, cs)
+    )
+    mass_ratio_expected = dep / float(w[:ns].sum())
+
     mass_ratio = total / float(w.sum())
     pps = n / elapsed
     result = {
@@ -79,8 +128,55 @@ def main():
         "vs_baseline": round(pps / REF_PARTICLES_PER_S, 3),
         "elapsed_s": round(elapsed, 2),
         "mass_ratio": round(mass_ratio, 6),
+        "mass_ratio_expected": round(mass_ratio_expected, 6),
+        "r_max_px": round(r_max, 2),
+        "pct_mid_bucket": round(pct_mid, 3),
+        "pct_dense_tail": round(pct_huge, 4),
     }
+
+    if os.environ.get("BENCH_KNN", "1") != "0":
+        del gpj, gwj, grj  # free HBM before the kNN workload
+        result.update(_bench_knn(jax, jnp, np))
+
     print(json.dumps(result))
+
+
+def _bench_knn(jax, jnp, np):
+    """PERF.md §2 workload through the public API, with a raw-upload tunnel
+    control so the e2e number is interpretable (see module docstring)."""
+    import time
+
+    from nbodyhpc_tpu.kdtree import KDTree
+
+    nk = int(float(os.environ.get("BENCH_KNN_N", 1e7)))
+    nq = int(float(os.environ.get("BENCH_KNN_Q", 5e5)))
+    rng = np.random.Generator(np.random.Philox(99))
+    pts = rng.random((nk, 3), dtype=np.float32)
+
+    # tunnel control: raw 50 MB H2D, timed by a host readback
+    ctrl = rng.random((13_107_200,), dtype=np.float32)  # 50 MiB
+    t0 = time.time()
+    float(jnp.sum(jnp.asarray(ctrl)))
+    h2d_mbs = 50.0 / max(time.time() - t0, 1e-9)
+
+    t0 = time.time()
+    tree = KDTree(pts, boxsize=1.0)
+    build_s = time.time() - t0
+
+    q = pts[:nq]
+    # warm the compile cache on a small batch so the timed run measures the
+    # pipeline, not XLA compilation (persistent cache carries across rounds)
+    tree.query(q[:8192], k=16)
+    t0 = time.time()
+    d, i = tree.query(q, k=16)
+    query_s = time.time() - t0
+    assert d.shape == (nq, 16) and float(np.max(d[:, 0])) < 1.0
+    return {
+        "knn_qps_e2e": round(nq / query_s, 1),
+        "knn_build_s": round(build_s, 2),
+        "knn_vs_proxy": round(nq / query_s / 8862.0, 3),
+        "tunnel_h2d_mbs": round(h2d_mbs, 1),
+    }
 
 
 if __name__ == "__main__":

@@ -49,7 +49,7 @@ def required_halfwidth(max_rpx: float) -> int:
     return int(math.ceil(max(max_rpx, 0.0))) + 3
 
 
-def footprint_values(ppx, w, rpx, halfwidth: int, subsample: int):
+def footprint_values(ppx, w, rpx, halfwidth: int, subsample: int, base=None):
     """Per-particle footprint contributions on a static (F, F, F) window.
 
     Parameters
@@ -59,17 +59,23 @@ def footprint_values(ppx, w, rpx, halfwidth: int, subsample: int):
     rpx : (C,) float32 — radii in pixel units.
     halfwidth : int — static window half-extent R; window is F = 2R+1 per dim.
     subsample : int — S, the anti-aliasing subsample factor.
+    base : (C, 3) int32, optional — explicit window origins. Every formula
+        below is elementwise in absolute voxel coordinates, so the window may
+        sit anywhere; voxels outside the particle's true footprint evaluate
+        to exactly zero. Callers (the dense large-radius path) use this to
+        clamp windows inside the grid. Default: floor(ppx) - R (centered).
 
     Returns
     -------
-    base : (C, 3) int32 — window lower corner voxel (floor(ppx) - R).
+    base : (C, 3) int32 — window lower corner voxel.
     vals : (C, F, F, F) float32 — deposition into voxel base + offset.
     """
     R = halfwidth
     F = 2 * R + 1
     C = ppx.shape[0]
     px, py, pz = ppx[:, 0], ppx[:, 1], ppx[:, 2]
-    base = jnp.floor(ppx).astype(jnp.int32) - R  # (C, 3)
+    if base is None:
+        base = jnp.floor(ppx).astype(jnp.int32) - R  # (C, 3)
 
     off = jnp.arange(F, dtype=jnp.int32)
     vx = base[:, 0:1] + off[None, :]  # (C, F)

@@ -738,6 +738,75 @@ def splat_volume_traced_engine(ppx, w, rpx, grid, subsample: int = 4,
     return vol
 
 
+@jax.jit
+def _radius_stats(rpx):
+    """Fused per-workload radius statistics (one readback): max radius and
+    the two kernel-bucket population totals (huge = the remainder)."""
+    t_base = jnp.sum(rpx <= G8.RMAX)
+    t_mid = jnp.sum((rpx > G8.RMAX) & (rpx <= G16.RMAX))
+    return jnp.max(rpx), t_base, t_mid
+
+
+@jax.jit
+def _partition_by_class(positions, weights, rpx):
+    """Globally partition device-resident particles into the three radius
+    classes (base <= 3 px < mid <= 7 px < huge) with ONE multi-operand
+    ``lax.sort`` — payloads ride the comparator network (no post-sort
+    gathers, per the no-gather invariant). Each bucket pass then runs on
+    its contiguous subset, so a mixed workload costs one partition sort
+    instead of streaming the full array through every bucket pipeline."""
+    cls = jnp.where(
+        rpx <= G8.RMAX, 0, jnp.where(rpx <= G16.RMAX, 1, 2)
+    ).astype(jnp.int32)
+    _, px, py, pz, ww, rr = jax.lax.sort(
+        (cls, positions[:, 0], positions[:, 1], positions[:, 2], weights,
+         rpx),
+        num_keys=1,
+    )
+    return jnp.stack([px, py, pz], axis=1), ww, rr
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cnt_pad", "grid", "halfwidth", "subsample"),
+    donate_argnums=(3,),
+)
+def _dense_tail(pos, w, rpx, vol, off, ppu, cnt_pad, grid, halfwidth,
+                subsample):
+    """Dense-deposit the huge-class tail slice ``[off, n)`` of the
+    class-partitioned arrays onto ``vol``. ``off`` is traced (so varying
+    workload compositions share one compile per ``cnt_pad`` rung); the
+    slice start is clamped and non-huge rows below ``off`` are
+    weight-zeroed. Positions are raw units, scaled by ``ppu`` after the
+    slice (never materializing a full scaled copy)."""
+    from .splat_dense import _default_chunk, splat_volume_dense_traced
+
+    n = pos.shape[0]
+    chunk = _default_chunk(2 * halfwidth + 1)
+    assert cnt_pad % chunk == 0, (cnt_pad, chunk)
+    off = jnp.int32(off)
+    if cnt_pad >= n:
+        pp, ww, rr = pos, w, rpx
+        keep = jnp.arange(n) >= off
+        if cnt_pad > n:
+            pad = cnt_pad - n
+            pp = jnp.concatenate([pp, jnp.zeros((pad, 3), jnp.float32)])
+            ww = jnp.concatenate([ww, jnp.zeros(pad, jnp.float32)])
+            rr = jnp.concatenate([rr, jnp.ones(pad, jnp.float32)])
+            keep = jnp.concatenate([keep, jnp.zeros(pad, bool)])
+    else:
+        cs = jnp.minimum(off, n - cnt_pad)
+        pp = jax.lax.dynamic_slice(pos, (cs, 0), (cnt_pad, 3))
+        ww = jax.lax.dynamic_slice(w, (cs,), (cnt_pad,))
+        rr = jax.lax.dynamic_slice(rpx, (cs,), (cnt_pad,))
+        keep = cs + jnp.arange(cnt_pad) >= off
+    ww = jnp.where(keep, ww, 0.0)
+    rr = jnp.where(keep, rr, 1.0)
+    return splat_volume_dense_traced(
+        pp * ppu, ww, rr, grid, halfwidth, subsample, vol, chunk
+    )
+
+
 def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
                  subsample: int = 4, batch: int = 8_000_000,
                  interpret: bool | None = None):
@@ -746,12 +815,13 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
     Semantics identical to :func:`nbodyhpc_tpu.ops.splat.splat_volume_oracle`
     (non-periodic / pre-augmented particles). Returns a device-resident
     (gx, gy, gz) float32 array. Radii route to the 8^3 kernel bucket
-    (<= 3 px), the 16^3 bucket ((3, 7] px), or the oracle path (> 7 px,
-    numpy inputs only — the device-resident path raises above 7 px).
-    On the numpy path the 16^3 bucket runs on its own physical subset; on
-    the device path both buckets stream the full arrays and route by key
-    (so a pure <=3 px workload pays nothing, but a mixed one pays a second
-    full sort pass — pre-split by radius on host for large mixed sets).
+    (<= 3 px), the 16^3 bucket ((3, 7] px), or the dense-window pass
+    (> 7 px, :mod:`nbodyhpc_tpu.ops.splat_dense` — unbounded radii).
+    On the numpy path each radius class runs on its own physical subset; on
+    the device path a mixed workload pays ONE global class-partition sort
+    (multi-operand ``lax.sort``, payloads in the comparator network) and
+    each pass then streams only its contiguous class slice — a pure
+    <= 3 px workload skips the partition and pays nothing extra.
     """
     device_in = isinstance(positions, jnp.ndarray)
     if not device_in:
@@ -762,27 +832,39 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
         interpret = jax.default_backend() != "tpu"
 
     gx, gy, gz = (int(v) for v in grid)
+    batch = (batch + 127) // 128 * 128
 
     if device_in:
-        # device-resident fast path: no host round trip; radii must fit the
-        # kernel buckets (checked with one fused two-scalar readback, which
-        # also lets an all-mid workload skip the empty base-bucket pass)
+        # device-resident fast path: no host round trip; bucket populations
+        # come from one fused readback (which also lets e.g. an all-mid
+        # workload skip the empty base-bucket pass)
         rpx_all = radii * pixels_per_unit
-        n_huge = 0
-        if positions.shape[0]:
-            mm = np.asarray(jnp.stack([jnp.max(rpx_all), jnp.min(rpx_all)]))
-            max_rpx, min_rpx = float(mm[0]), float(mm[1])
+        n = positions.shape[0]
+        if n:
+            stats = jax.device_get(_radius_stats(rpx_all))
+            max_rpx = float(stats[0])
+            t_base, t_mid = int(stats[1]), int(stats[2])
         else:
-            max_rpx = min_rpx = 0.0
-        if max_rpx > G16.RMAX:
-            raise ValueError(
-                "device-resident splat_volume requires pixel radii <= "
-                f"{G16.RMAX}; pass numpy arrays for the mixed-radius path"
+            max_rpx = 0.0
+            t_base = t_mid = 0
+        n_huge = n - t_base - t_mid
+        if (t_base > 0) + (t_mid > 0) + (n_huge > 0) >= 2:
+            # mixed workload: ONE global class-partition sort, then every
+            # pass runs on its contiguous class slice — instead of each
+            # bucket pipeline streaming (and sorting) the full array. A
+            # single-class workload skips the partition entirely.
+            pos_c, w_c, r_c = _partition_by_class(
+                positions, weights, rpx_all
             )
-        pos_s, w_s, r_s = positions, weights, rpx_all
-        pos_mid, w_mid, r_mid = pos_s, w_s, r_s  # routed by bucket keys
-        need_mid = max_rpx > G8.RMAX
-        need_base = positions.shape[0] > 0 and min_rpx <= G8.RMAX
+        else:
+            pos_c, w_c, r_c = positions, weights, rpx_all
+        pos_s = pos_mid = pos_c
+        w_s = w_mid = w_c
+        r_s = r_mid = r_c
+        base_win = (0, t_base)
+        mid_win = (t_base, t_mid)
+        need_mid = t_mid > 0
+        need_base = t_base > 0
     else:
         rpx_h = radii * pixels_per_unit
         huge = rpx_h > G16.RMAX
@@ -801,12 +883,13 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
             pos_s, w_s, r_s = pos_k, w_k, r_k
         need_base = pos_s.shape[0] > 0
 
-    batch = (batch + 127) // 128 * 128
-
-    def run_bucket(geom, p_in, w_in, r_in, vol0):
+    def run_bucket(geom, p_in, w_in, r_in, vol0, off=0, cnt=None):
+        """Stream rows ``[off, off + cnt)`` of the inputs through the bucket
+        pipeline (the contiguous class slice on the partitioned device
+        path; the whole array otherwise)."""
         ntiles = _ntiles((gx, gy, gz), geom)
         bufs = _zero_bufs(ntiles, geom)
-        n = p_in.shape[0]
+        n = p_in.shape[0] if cnt is None else cnt
 
         first = True
         for bi, s in enumerate(range(0, max(n, 1), batch)):
@@ -818,19 +901,19 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
             if device_in:
                 if nb == batch:  # uniform shapes: one compile, full batches
                     ppj = jax.lax.dynamic_slice(
-                        p_in, (s, 0), (batch, 3)) * pixels_per_unit
-                    wj = jax.lax.dynamic_slice(w_in, (s,), (batch,))
-                    rj = jax.lax.dynamic_slice(r_in, (s,), (batch,))
+                        p_in, (off + s, 0), (batch, 3)) * pixels_per_unit
+                    wj = jax.lax.dynamic_slice(w_in, (off + s,), (batch,))
+                    rj = jax.lax.dynamic_slice(r_in, (off + s,), (batch,))
                 else:  # final partial batch, zero-padded
                     ppj = jnp.zeros((nb_pad, 3), jnp.float32).at[:nb].set(
                         jax.lax.dynamic_slice(
-                            p_in, (s, 0), (nb, 3)) * pixels_per_unit
+                            p_in, (off + s, 0), (nb, 3)) * pixels_per_unit
                     )
                     wj = jnp.zeros(nb_pad, jnp.float32).at[:nb].set(
-                        jax.lax.dynamic_slice(w_in, (s,), (nb,))
+                        jax.lax.dynamic_slice(w_in, (off + s,), (nb,))
                     )
                     rj = jnp.ones(nb_pad, jnp.float32).at[:nb].set(
-                        jax.lax.dynamic_slice(r_in, (s,), (nb,))
+                        jax.lax.dynamic_slice(r_in, (off + s,), (nb,))
                     )
             else:
                 pp = np.zeros((nb_pad, 3), np.float32)
@@ -882,23 +965,45 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
 
     vol = None
     if need_base:
-        vol = run_bucket(G8, pos_s, w_s, r_s, None)
+        if device_in:
+            vol = run_bucket(G8, pos_s, w_s, r_s, None, *base_win)
+        else:
+            vol = run_bucket(G8, pos_s, w_s, r_s, None)
     if need_mid:
         if device_in and vol is not None:
             # free the base bucket's tile buffers before allocating the
             # 16^3 bucket's (two grid-sized tile sets do not coexist)
             float(jnp.sum(vol[:1, :1]))
-        vol = run_bucket(G16, pos_mid, w_mid, r_mid, vol)
+        if device_in:
+            vol = run_bucket(G16, pos_mid, w_mid, r_mid, vol, *mid_win)
+        else:
+            vol = run_bucket(G16, pos_mid, w_mid, r_mid, vol)
     if vol is None:
         vol = jnp.zeros((gx, gy, gz), jnp.float32)
 
     if n_huge:
-        from .splat import splat_volume_oracle
+        from .splat_dense import _default_chunk, dense_halfwidth, \
+            splat_volume_dense
 
-        vol_huge = splat_volume_oracle(
-            positions[huge], weights[huge], radii[huge], pixels_per_unit,
-            (gx, gy, gz), subsample,
-        )
-        vol = vol + jnp.asarray(vol_huge)
+        if device_in:
+            # the huge class is the partitioned arrays' tail slice; dense
+            # RMW accumulates straight onto vol (donated). cnt_pad grows
+            # geometrically so compile count stays bounded across workloads
+            hw = dense_halfwidth(max_rpx)
+            chunk = _default_chunk(2 * hw + 1)
+            cnt_pad = chunk
+            while cnt_pad < n_huge:
+                cnt_pad *= 2
+            vol = _dense_tail(
+                pos_c, w_c, r_c, vol, t_base + t_mid,
+                jnp.float32(pixels_per_unit), cnt_pad, (gx, gy, gz), hw,
+                subsample,
+            )
+        else:
+            vol = splat_volume_dense(
+                positions[huge] * pixels_per_unit, weights[huge],
+                rpx_h[huge], (gx, gy, gz), subsample, vol0=vol,
+                max_radius_px=float(rpx_h[huge].max()),
+            )
     # stays device-resident; callers that need numpy convert at the API edge
     return vol

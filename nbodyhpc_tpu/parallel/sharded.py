@@ -27,7 +27,11 @@ from ..core.points import round_up
 from ..ops import knn as _knn
 from ..ops import splat_pallas as _splat
 from ..ops.ghosts import augment_points_periodic
-from ..ops.splat import required_halfwidth, splat_volume_traced
+from ..ops.splat_dense import (
+    _default_chunk,
+    dense_halfwidth,
+    splat_volume_dense_traced,
+)
 from .mesh import make_slab_mesh
 
 #: extra z margin (pixels) beyond the pixel radius that a splat can reach
@@ -53,17 +57,23 @@ def _band_select(arrs, mask, cap):
     return out, valid, overflow
 
 
-def _render_shard_fn(gx, gy, gz_loc, halfwidth, subsample, cap, axis,
-                     buckets=None, hops=1):
+def _render_shard_fn(gx, gy, gz_loc, subsample, cap, axis,
+                     buckets, hops=1, dense_hw=None, huge_cap=0):
     """Per-device slab renderer with ppermute halo exchange.
 
-    When ``buckets`` is given, the slab is rendered by the production Pallas
-    engine (ops/splat_pallas.py) via its fully-traced single-dispatch
-    pipeline; otherwise by the traced oracle scatter (radii beyond the
-    engine's 7 px bucket ceiling). ``hops`` is the halo depth in slabs: a
-    footprint can reach ``max_rpx + Z_MARGIN`` pixels past its center, so
-    when slabs are shallower than that, bands are exchanged with devices up
-    to ceil(reach / gz_loc) slabs away, not just the adjacent ones."""
+    The slab is rendered by the production Pallas engine
+    (ops/splat_pallas.py) via its fully-traced single-dispatch pipeline;
+    when ``dense_hw`` is given, radii beyond the engine's 7 px bucket
+    ceiling (which the engine's (RMIN, RMAX] key routing simply skips) are
+    additionally deposited by the dense large-radius pass
+    (ops/splat_dense.py): a multi-operand extraction sort moves huge rows
+    to a static ``huge_cap``-row prefix, which accumulates straight onto
+    the engine's field. ``huge_cap`` rides the same overflow counter as
+    the halo bands — overflow 0 certifies an exact render. ``hops`` is the
+    halo depth in slabs: a footprint can reach ``max_rpx + Z_MARGIN``
+    pixels past its center, so when slabs are shallower than that, bands
+    are exchanged with devices up to ceil(reach / gz_loc) slabs away, not
+    just the adjacent ones."""
     interpret = jax.default_backend() != "tpu"
 
     def f(ppx, w, rpx):
@@ -125,16 +135,38 @@ def _render_shard_fn(gx, gy, gz_loc, halfwidth, subsample, cap, axis,
         all_r = jnp.where(all_w != 0.0, all_r, 1.0)  # NaN-safe padding
 
         local = all_p - jnp.asarray([0.0, 0.0, 1.0]) * z0
-        if buckets is not None:
-            dens = _splat.splat_volume_traced_engine(
-                local, all_w, all_r, (gx, gy, gz_loc), subsample,
-                interpret=interpret, buckets=buckets,
+        dens = _splat.splat_volume_traced_engine(
+            local, all_w, all_r, (gx, gy, gz_loc), subsample,
+            interpret=interpret, buckets=buckets,
+        )
+        dens = dens.reshape(gx, gy, gz_loc)
+        if dense_hw is not None and huge_cap > 0:
+            chunk = _default_chunk(2 * dense_hw + 1)
+            hc = min(huge_cap, all_w.shape[0])
+            hc_pad = (hc + chunk - 1) // chunk * chunk
+            is_huge = (all_r > _splat.G16.RMAX) & (all_w != 0.0)
+            key = jnp.where(is_huge, 0, 1).astype(jnp.int32)
+            _, hx, hy, hz, hw_, hr = jax.lax.sort(
+                (key, local[:, 0], local[:, 1], local[:, 2], all_w, all_r),
+                num_keys=1,
             )
-        else:
-            dens = splat_volume_traced(
-                local, all_w, all_r, (gx, gy, gz_loc), halfwidth, subsample
+            n_huge = jnp.sum(is_huge.astype(jnp.int32))
+            keep = jnp.arange(hc) < n_huge
+            pp = jnp.zeros((hc_pad, 3), jnp.float32)
+            pp = pp.at[:hc, 0].set(hx[:hc]).at[:hc, 1].set(hy[:hc])
+            pp = pp.at[:hc, 2].set(hz[:hc])
+            ww = jnp.zeros(hc_pad, jnp.float32).at[:hc].set(
+                jnp.where(keep, hw_[:hc], 0.0)
             )
-        return dens.reshape(gx, gy, gz_loc), jax.lax.psum(overflow, axis)
+            rr = jnp.ones(hc_pad, jnp.float32).at[:hc].set(
+                jnp.where(keep, hr[:hc], 1.0)
+            )
+            dens = splat_volume_dense_traced(
+                pp, ww, rr, (gx, gy, gz_loc), dense_hw, subsample, vol0=dens,
+                chunk=chunk,
+            )
+            overflow = overflow + jnp.maximum(n_huge - hc, 0)
+        return dens, jax.lax.psum(overflow, axis)
 
     return f
 
@@ -185,16 +217,22 @@ def render_points_volume_sharded(
     ppx = positions * pixels_per_unit
     rpx = radii * pixels_per_unit
     max_rpx = float(rpx.max()) if rpx.size else 0.0
-    halfwidth = required_halfwidth(max_rpx)
-    # per-shard engine: the Pallas radius buckets when radii fit, else the
-    # traced oracle scatter (the engine's exact bucket partition means a
-    # pure <= 3 px workload runs only the 8^3 kernel)
+    # per-shard engine: the Pallas radius buckets cover radii <= 7 px (the
+    # exact bucket partition means a pure <= 3 px workload runs only the 8^3
+    # kernel); any larger radii run the dense large-radius pass on top,
+    # capped at the global huge count (overflow-checked, so always exact
+    # when the returned overflow is 0)
     if max_rpx <= _splat.G8.RMAX:
         buckets = (_splat.G8,)
-    elif max_rpx <= _splat.G16.RMAX:
-        buckets = (_splat.G8, _splat.G16)
     else:
-        buckets = None
+        buckets = (_splat.G8, _splat.G16)
+    if max_rpx > _splat.G16.RMAX:
+        dense_hw = dense_halfwidth(max_rpx)
+        n_huge_total = int(np.sum(rpx > _splat.G16.RMAX))
+        huge_cap = round_up(max(n_huge_total, 1), 128)
+    else:
+        dense_hw = None
+        huge_cap = 0
 
     # host partition into slabs by particle center
     slab = np.clip((ppx[:, 2] // gz_loc).astype(np.int64), 0, nd - 1)
@@ -217,8 +255,8 @@ def render_points_volume_sharded(
         band_cap = max(256, round_up(nloc // 4, 256))
 
     hops = min(nd - 1, max(1, int(np.ceil((max_rpx + Z_MARGIN) / gz_loc))))
-    fn = _render_shard_fn(gx, gy, gz_loc, halfwidth, subsample, band_cap,
-                          axis, buckets, hops)
+    fn = _render_shard_fn(gx, gy, gz_loc, subsample, band_cap,
+                          axis, buckets, hops, dense_hw, huge_cap)
     mapped = shard_map(
         fn,
         mesh=mesh,

@@ -86,15 +86,38 @@ def test_sharded_render_mid_radius_bucket(mesh):
     np.testing.assert_allclose(vol, ref, rtol=2e-5, atol=1e-6)
 
 
-def test_sharded_render_oracle_fallback(mesh):
-    """Radii beyond the engine's 7 px ceiling fall back to the traced
-    oracle scatter per shard."""
+def test_sharded_render_dense_tail(mesh):
+    """Radii beyond the engine's 7 px ceiling route to the per-shard dense
+    large-radius pass (ops/splat_dense.py), composed with the engine
+    buckets for the small part of the workload."""
     rng = np.random.Generator(np.random.Philox(33))
     n = 40
     pos = rng.random((n, 3)).astype(np.float32)
     w = rng.random(n).astype(np.float32) + 0.5
     ppu = 32.0
     r = ((6.0 + rng.random(n) * 3.0) / ppu).astype(np.float32)  # up to 9 px
+    vol, overflow = render_points_volume_sharded(
+        pos, w, r, ppu, (32, 32, 32), mesh=mesh, band_cap=256
+    )
+    assert overflow == 0
+    ref = render_points_volume(pos, w, r, ppu, 32)
+    np.testing.assert_allclose(vol, ref, rtol=2e-5, atol=1e-6)
+
+
+def test_sharded_render_31px_mixed(mesh):
+    """Mixed workload whose largest footprint (31 px radius) spans many
+    slabs: multi-hop halo exchange + dense pass must stay exact."""
+    rng = np.random.Generator(np.random.Philox(37))
+    n = 24
+    pos = rng.random((n, 3)).astype(np.float32)
+    w = rng.random(n).astype(np.float32) + 0.5
+    ppu = 32.0
+    r = np.concatenate(
+        [
+            ((0.5 + rng.random(16) * 4.0) / ppu),  # engine buckets
+            ((20.0 + rng.random(8) * 11.0) / ppu),  # dense, up to 31 px
+        ]
+    ).astype(np.float32)
     vol, overflow = render_points_volume_sharded(
         pos, w, r, ppu, (32, 32, 32), mesh=mesh, band_cap=256
     )

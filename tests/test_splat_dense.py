@@ -1,0 +1,143 @@
+"""Dense large-radius deposition (ops/splat_dense.py) vs the oracle.
+
+The reference renders arbitrarily large points (unbounded gl_PointSize,
+rasterization/shaders/triangle.vert:43-44,63); the TPU engine's Pallas
+buckets stop at 7 px, so radii above that take the dense clamped-window
+pass. These tests pin (a) bit-level parity of the dense evaluator with the
+oracle, including window clamping at grid edges, (b) the mixed-radius
+routing in splat_volume (device-resident and numpy paths), and (c) the
+halfwidth bucket ladder.
+"""
+import numpy as np
+import pytest
+
+from nbodyhpc_tpu.ops.splat import required_halfwidth, splat_volume_oracle
+from nbodyhpc_tpu.ops.splat_dense import (
+    HALF_BUCKETS,
+    dense_halfwidth,
+    splat_volume_dense,
+)
+
+
+def _particles(n, seed, grid, ppu, rpx_lo, rpx_hi):
+    rng = np.random.Generator(np.random.Philox(seed))
+    box = np.array([g / ppu for g in grid], np.float32)
+    pos = (rng.random((n, 3)).astype(np.float32) * box).astype(np.float32)
+    w = rng.random(n).astype(np.float32) + 0.5
+    r = ((rpx_lo + rng.random(n) * (rpx_hi - rpx_lo)) / ppu).astype(np.float32)
+    return pos, w, r
+
+
+def test_dense_matches_oracle_large_radii():
+    """Radii 8-18 px on a 40^3-ish grid: footprints larger than the grid
+    axes in places, so edge clamping is exercised heavily."""
+    grid = (40, 36, 40)
+    ppu = 32.0
+    pos, w, r = _particles(30, 7, grid, ppu, 8.0, 18.0)
+    want = splat_volume_oracle(pos, w, r, ppu, grid)
+    got = np.asarray(splat_volume_dense(pos * ppu, w, r * ppu, grid))
+    np.testing.assert_array_equal(got, want)  # same fn, same f32 order
+
+
+def test_dense_window_larger_than_grid():
+    """Window F may exceed a grid axis; the padded-volume route must still
+    deposit exactly footprint-intersect-grid."""
+    grid = (16, 12, 16)
+    ppu = 16.0
+    pos, w, r = _particles(8, 21, grid, ppu, 10.0, 31.0)
+    want = splat_volume_oracle(pos, w, r, ppu, grid)
+    got = np.asarray(splat_volume_dense(pos * ppu, w, r * ppu, grid))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_dense_vol0_accumulate():
+    grid = (24, 24, 24)
+    ppu = 24.0
+    pos, w, r = _particles(10, 3, grid, ppu, 8.0, 12.0)
+    base = np.asarray(
+        splat_volume_oracle(pos, w, r * 0.1, ppu, grid), np.float32
+    )
+    import jax.numpy as jnp
+
+    got = np.asarray(
+        splat_volume_dense(
+            pos * ppu, w, r * ppu, grid, vol0=jnp.asarray(base)
+        )
+    )
+    want = base + np.asarray(splat_volume_oracle(pos, w, r, ppu, grid))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_dense_halfwidth_ladder():
+    for rpx in (7.5, 9.0, 17.0, 33.0, 65.0, 129.0, 257.0):
+        hw = dense_halfwidth(rpx)
+        assert hw >= required_halfwidth(rpx)
+    # within the ladder: the smallest covering rung
+    assert dense_halfwidth(8.0) == HALF_BUCKETS[0]
+    assert dense_halfwidth(HALF_BUCKETS[0] - 3.0) == HALF_BUCKETS[0]
+    assert dense_halfwidth(HALF_BUCKETS[0] - 2.5) == HALF_BUCKETS[1]
+    # beyond the ladder: exact halfwidth (unbounded radii)
+    big = HALF_BUCKETS[-1] + 40.0
+    assert dense_halfwidth(big) == required_halfwidth(big)
+
+
+def test_splat_volume_numpy_routes_huge_to_dense():
+    """Mixed workload through the public splat_volume host path: the huge
+    tail must land on the dense pass (not the scatter oracle) and still
+    match the oracle field exactly."""
+    from nbodyhpc_tpu.ops import splat_pallas
+
+    grid = (24, 20, 24)
+    ppu = 24.0
+    rng = np.random.Generator(np.random.Philox(9))
+    n = 48
+    box = np.array([g / ppu for g in grid], np.float32)
+    pos = (rng.random((n, 3)).astype(np.float32) * box).astype(np.float32)
+    w = rng.random(n).astype(np.float32) + 0.5
+    r = np.concatenate(
+        [
+            (rng.random(16) * 0.4 / ppu),  # sub-pixel
+            ((0.6 + rng.random(16) * 5.0) / ppu),  # G8 + G16 buckets
+            ((8.0 + rng.random(16) * 6.0) / ppu),  # dense tail
+        ]
+    ).astype(np.float32)
+    want = splat_volume_oracle(pos, w, r, ppu, grid)
+    got = np.asarray(
+        splat_pallas.splat_volume(pos, w, r, ppu, grid, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_splat_volume_device_mixed_radii():
+    """Device-resident mixed workload (sub-pixel + both buckets + huge),
+    multiple batches so the per-batch huge extraction sort is exercised."""
+    import jax.numpy as jnp
+
+    from nbodyhpc_tpu.ops import splat_pallas
+
+    grid = (24, 20, 24)
+    ppu = 24.0
+    rng = np.random.Generator(np.random.Philox(11))
+    n = 300
+    box = np.array([g / ppu for g in grid], np.float32)
+    pos = (rng.random((n, 3)).astype(np.float32) * box).astype(np.float32)
+    w = rng.random(n).astype(np.float32) + 0.5
+    r = np.concatenate(
+        [
+            (rng.random(100) * 0.4 / ppu),
+            ((0.6 + rng.random(100) * 5.0) / ppu),
+            ((8.0 + rng.random(100) * 6.0) / ppu),
+        ]
+    ).astype(np.float32)
+    # shuffle so every batch holds a mix (some with huge, some without)
+    perm = rng.permutation(n)
+    pos, w, r = pos[perm], w[perm], r[perm]
+    want = splat_volume_oracle(pos, w, r, ppu, grid)
+    got = np.asarray(
+        splat_pallas.splat_volume(
+            jnp.asarray(pos), jnp.asarray(w), jnp.asarray(r), ppu, grid,
+            batch=128, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
