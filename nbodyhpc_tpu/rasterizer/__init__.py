@@ -71,11 +71,11 @@ class Container:
     ``jax.default_device(container.device)``) and the compiled-kernel
     caches. ``enable_validation_layers`` maps to JAX NaN checking, the
     moral equivalent of ``VK_LAYER_KHRONOS_validation``
-    (vulkan_support.cpp:132-148). Note: like the reference's validation
-    layer (an instance-wide Vulkan messenger), the NaN check is
-    PROCESS-GLOBAL (``jax_debug_nans``) and stays enabled until
-    explicitly turned off — it is a debugging mode, not a per-render
-    switch.
+    (vulkan_support.cpp:132-148) — scoped to this container's renders
+    (``jax.debug_nans`` used as a context manager), so one debug
+    container does not flip the whole process into checking mode. It
+    also arms host-side finite-input validation in the renderers'
+    prepare step (the input-side half of the validation layer).
     """
 
     def __init__(self, enable_validation_layers: bool = False, device=None):
@@ -83,16 +83,23 @@ class Container:
 
         self.validation = bool(enable_validation_layers)
         self.device = device if device is not None else jax.devices()[0]
-        if self.validation:
-            # runtime checking, the moral analog of enabling the Vulkan
-            # validation layer: NaN propagation in any jitted computation
-            # raises instead of silently corrupting the field
-            jax.config.update("jax_debug_nans", True)
 
     def device_ctx(self):
+        """Context every render of this container runs under: the pinned
+        device, plus NaN-raising checks when validation is enabled."""
+        import contextlib
+
         import jax
 
-        return jax.default_device(self.device)
+        if not self.validation:
+            return jax.default_device(self.device)
+
+        @contextlib.contextmanager
+        def _ctx():
+            with jax.default_device(self.device), jax.debug_nans(True):
+                yield
+
+        return _ctx()
 
     def __repr__(self):
         return f"Container(device={self.device}, validation={self.validation})"
@@ -145,6 +152,16 @@ class PointRenderer:
     # -- internals ---------------------------------------------------------
     def _prepare(self, positions, weights, radii, period):
         positions, weights, radii = _validate_arrays(positions, weights, radii)
+        if self.container.validation:
+            # input-side validation layer: catch poisoned inputs before they
+            # reach the device (the output side is the scoped debug_nans
+            # context in Container.device_ctx)
+            for name, arr in (("positions", positions), ("weights", weights),
+                              ("radii", radii)):
+                if not np.all(np.isfinite(arr)):
+                    raise ValueError(
+                        f"validation layer: non-finite values in {name}"
+                    )
         if any(p > 0 for p in period):
             positions, weights, radii = _ghosts.augment_points_periodic(
                 positions, weights, radii, period

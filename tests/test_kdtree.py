@@ -166,6 +166,54 @@ def test_ball_count_periodic():
     np.testing.assert_array_equal(counts, expected)
 
 
+def test_ball_count_cell_engine_vs_dense():
+    """The cell-cube engine (small radii) must agree exactly with the dense
+    O(N*Q) scan on the same tree — including per-query radii, clustered
+    data, and queries outside the data extent."""
+    from nbodyhpc_tpu.ops import ball
+
+    rng = np.random.Generator(np.random.Philox(81))
+    # clustered: half uniform, half in a tight blob (stresses ccap sizing)
+    a = rng.random((3000, 3)).astype(np.float32)
+    b = (rng.random((1000, 3)) * 0.05 + 0.4).astype(np.float32)
+    points = np.concatenate([a, b]).astype(np.float32)
+    queries = np.concatenate(
+        [rng.random((48, 3)), rng.random((8, 3)) * 0.1 + 0.38,
+         rng.random((8, 3)) + 2.0]  # outside the extent
+    ).astype(np.float32)
+    radii = (rng.random(64) * 0.12 + 0.005).astype(np.float32)
+
+    tree = KDTree(points)
+    counts = tree.query_radius_count(queries, radii)
+
+    # cross-check both engines regardless of what "auto" picked
+    cells = ball.ball_count(tree._tree, tree._dev, queries, radii, engine="cells")
+    dense = ball.ball_count(tree._tree, tree._dev, queries, radii, engine="dense")
+    np.testing.assert_array_equal(cells, dense)
+    np.testing.assert_array_equal(counts, dense)
+
+    ref = scipy.spatial.KDTree(points)
+    sp = np.array(
+        [len(ref.query_ball_point(q, float(r))) for q, r in zip(queries, radii)]
+    )
+    np.testing.assert_array_equal(counts, sp)
+
+
+def test_ball_count_periodic_cube_wrap():
+    """Periodic radii large enough that the cell cube wraps the whole box in
+    a dimension: wrapped duplicate cells must be counted exactly once."""
+    box = 1.0
+    points = _random_points(800, 82, box=box)
+    queries = _random_points(24, 83, box=box)
+    from nbodyhpc_tpu.ops import ball
+
+    tree = KDTree(points, boxsize=box)
+    counts = ball.ball_count(tree._tree, tree._dev, queries, 0.4, engine="cells")
+    ref = scipy.spatial.KDTree(points, boxsize=box)
+    expected = np.array([len(x) for x in ref.query_ball_point(queries, 0.4)])
+    np.testing.assert_array_equal(counts, expected)
+
+
 def test_far_outside_queries_hit_fallback():
     """Queries far outside the data extent must stay exact (regression: the
     streaming fallback used to truncate the tail when the padded point count

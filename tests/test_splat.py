@@ -218,6 +218,28 @@ def test_input_validation():
         render_points_volume(np.zeros((2, 3), np.float32), np.ones((2, 1), np.float32), w1, 8.0, 8)
 
 
+def test_validation_container_is_scoped():
+    """Container(enable_validation_layers=True) catches poisoned inputs for
+    ITS renders without flipping process-global state (the round-1 design
+    set jax_debug_nans for the whole process and never restored it)."""
+    import jax
+
+    from nbodyhpc_tpu.rasterizer import Container, PointRenderer
+
+    c = Container(enable_validation_layers=True)
+    pr = PointRenderer(c, 8, 8)
+    pos = np.array([[0.5, 0.5, 0.25], [0.2, np.nan, 0.1]], np.float32)
+    w = np.ones(2, np.float32)
+    r = np.full(2, 0.05, np.float32)
+    with pytest.raises(ValueError, match="non-finite"):
+        pr.render_points_volume(pos, w, r, 8, 8.0)
+    # clean inputs still render, and the NaN check does not leak out
+    pos[1, 1] = 0.5
+    vol = pr.render_points_volume(pos, w, r, 8, 8.0)
+    assert np.isfinite(vol).all()
+    assert not jax.config.jax_debug_nans
+
+
 def test_renderer_cache():
     from nbodyhpc_tpu.rasterizer import get_point_renderer
 
