@@ -55,6 +55,7 @@ the radius-bucketing strategy SURVEY.md §7.3 plans for variable footprints.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -471,9 +472,16 @@ def _ntiles(grid, geom=G8):
     return (gxp // TX) * (gyp // geom.YTILE) * (gzp // TZ)
 
 
-def _pair_keys(ppx, rpx, w, grid, geom=G8):
+def _pair_keys(ppx, rpx, w, grid, geom=G8, xwin=None):
     """[N] tile keys (ntiles = invalid), plus the window base
     b = ceil(ppx - (F/2 + 0.5)).
+
+    ``xwin = (xt0, nxt)`` restricts assignment to the x-tile slab window
+    [xt0, xt0 + nxt): keys are re-based to the window's tile numbering and
+    particles outside it are invalid. Buffer-memory scaling: a bucket pass
+    over a window allocates only the window's tiles (see ``run_bucket``'s
+    slab-run loop); cross-window +x spill rides the carry strips chained
+    between runs by ``_unpack_tiles``.
 
     Each particle belongs to exactly ONE tile — the one containing its
     (clamped) window base. x/z crossings spill into the accumulator's right
@@ -487,7 +495,8 @@ def _pair_keys(ppx, rpx, w, grid, geom=G8):
     F, HALO, YT = geom.F, geom.HALO, geom.YTILE
     gxp, gyp, gzp = _grid_pad(grid, geom)
     ntx, nty, ntz = gxp // TX, gyp // YT, gzp // TZ
-    ntiles = ntx * nty * ntz
+    xt0, nxt = (0, ntx) if xwin is None else xwin
+    ntiles = nxt * nty * ntz
 
     b = jnp.ceil(ppx - (F / 2 + 0.5)).astype(jnp.int32)  # [N, 3]
     bx, by, bz = b[:, 0], b[:, 1], b[:, 2]
@@ -506,29 +515,38 @@ def _pair_keys(ppx, rpx, w, grid, geom=G8):
         & (bx >= -HALO) & (bx < gxp)
         & (bz >= -HALO) & (bz < gzp)
         & (by >= -F) & (by < gyp)
+        & (tx >= xt0) & (tx < xt0 + nxt)
     )
-    tid0 = (tx * nty + ty0) * ntz + tz
+    tid0 = ((tx - xt0) * nty + ty0) * ntz + tz
     key0 = jnp.where(eligible, tid0, ntiles)
     return key0, b
 
 
-@functools.partial(jax.jit, static_argnames=("grid", "geom"))
-def _count_pairs(ppx, rpx, w, grid, geom=G8):
-    keys, _ = _pair_keys(ppx, rpx, w, grid, geom)
-    return jnp.sum(keys < _ntiles(grid, geom))
+@functools.partial(jax.jit, static_argnames=("grid", "geom", "xwin"))
+def _count_pairs(ppx, rpx, w, grid, geom=G8, xwin=None):
+    keys, _ = _pair_keys(ppx, rpx, w, grid, geom, xwin)
+    nty, ntz = _grid_pad(grid, geom)[1] // geom.YTILE, \
+        _grid_pad(grid, geom)[2] // TZ
+    nt = (_grid_pad(grid, geom)[0] // TX if xwin is None else xwin[1]) \
+        * nty * ntz
+    return jnp.sum(keys < nt)
 
 
-@functools.partial(jax.jit, static_argnames=("grid", "np_pad", "geom"))
-def _prep_batch(pos_px, w, rpx, grid, np_pad, geom=G8):
+@functools.partial(
+    jax.jit, static_argnames=("grid", "np_pad", "geom", "xwin")
+)
+def _prep_batch(pos_px, w, rpx, grid, np_pad, geom=G8, xwin=None):
     """Pair expansion -> multi-operand sort -> elementwise channel derivation
     -> per-tile starts/counts/aligned offsets. No gathers anywhere."""
     F, HALO, YTILE = geom.F, geom.HALO, geom.YTILE
     gxp, gyp, gzp = _grid_pad(grid, geom)
     ntx, nty, ntz = gxp // TX, gyp // YTILE, gzp // TZ
-    ntiles = ntx * nty * ntz
+    xt0, nxt = (0, ntx) if xwin is None else xwin
+    ntiles = nxt * nty * ntz
     n = pos_px.shape[0]
 
-    key, _ = _pair_keys(pos_px, rpx, w, grid, geom)  # one tile per particle
+    # one tile per particle (re-based to the slab window when given)
+    key, _ = _pair_keys(pos_px, rpx, w, grid, geom, xwin)
     px = pos_px[:, 0]
     py = pos_px[:, 1]
     pz = pos_px[:, 2]
@@ -574,7 +592,7 @@ def _prep_batch(pos_px, w, rpx, grid, np_pad, geom=G8):
     w_norm = jnp.where(is_sub, 0.0, ww / jnp.where(is_sub, 1.0, vol))
     w_raw = jnp.where(is_sub, ww, 0.0)
 
-    bx_ext = bx - tx * TX + HALO
+    bx_ext = bx - (xt0 + tx) * TX + HALO
     bz_ext = bz - tz * TZ + HALO
     by_loc = by - ty * YTILE
     bx_ext = jnp.where(invalid, HALO, bx_ext)
@@ -598,8 +616,12 @@ def _prep_batch(pos_px, w, rpx, grid, np_pad, geom=G8):
     return srcf, srci, starts[:-1], cnts, aoff[:-1]
 
 
-@functools.partial(jax.jit, static_argnames=("grid", "geom"))
-def _unpack_tiles(out, hx, hz, hc, grid, vol0=None, geom=G8):
+@functools.partial(
+    jax.jit, static_argnames=("grid", "geom", "xwin", "carry_out"),
+    donate_argnames=("out", "hz", "vol0"),
+)
+def _unpack_tiles(out, hx, hz, hc, grid, vol0=None, geom=G8, xwin=None,
+                  seed=None, carry_out=False):
     """Tile-major center (ntiles, TX, TZ, TY) + halo spill strips -> logical
     (gx, gy, gz); tile rows=(x, z), lanes=y.
 
@@ -609,24 +631,32 @@ def _unpack_tiles(out, hx, hz, hc, grid, vol0=None, geom=G8):
     x slab of tiles at a time so the peak footprint is inputs + result +
     one slab transient (a whole-grid intermediate on top of the 4 GiB
     inputs OOMs at 1024^3). When ``vol0`` is given, the unpacked field is
-    accumulated onto it (used to sum the radius buckets)."""
+    accumulated onto it (used to sum the radius buckets).
+
+    ``xwin = (xt0, nxt)``: the buffers cover only that x-tile slab window
+    (run_bucket's memory-bounded slab runs). ``seed`` = (hx_carry,
+    hc_carry) strips of the window to the left (its last slab's +x/corner
+    spill, which lands in this window's first slab); ``carry_out=True``
+    additionally returns this window's own carry strips for the next run.
+    """
     HALO, YTILE = geom.HALO, geom.YTILE
     gxp, gyp, gzp = _grid_pad(grid, geom)
     ntx, nty, ntz = gxp // TX, gyp // YTILE, gzp // TZ
+    xt0, nxt = (0, ntx) if xwin is None else xwin
     gy, gz = int(grid[1]), int(grid[2])
     m = nty * ntz  # tiles per x slab (tile id = (tx*nty + ty)*ntz + tz)
 
     # +x spill comes from the PREVIOUS slab's tiles; rather than gating the
     # tx=0 fold with a predicate on the loop index (jax 0.9.0's fori_loop
     # miscompiles index comparisons: where(tx > 0, ...) evaluates true at
-    # tx=0 — verified on cpu and tpu), prepend a zero slab so slicing at
-    # tx*m always reads the right strip
-    hxp = jnp.concatenate(
-        [jnp.zeros((m,) + hx.shape[1:], hx.dtype), hx], axis=0
+    # tx=0 — verified on cpu and tpu), prepend a zero slab (or the previous
+    # window's carry strips) so slicing at tx*m always reads the right strip
+    seed_hx, seed_hc = seed if seed is not None else (
+        jnp.zeros((m,) + hx.shape[1:], hx.dtype),
+        jnp.zeros((m,) + hc.shape[1:], hc.dtype),
     )
-    hcp = jnp.concatenate(
-        [jnp.zeros((m,) + hc.shape[1:], hc.dtype), hc], axis=0
-    )
+    hxp = jnp.concatenate([seed_hx, hx], axis=0)
+    hcp = jnp.concatenate([seed_hc, hc], axis=0)
 
     def body(tx, vol):
         c = jax.lax.dynamic_slice(
@@ -650,11 +680,13 @@ def _unpack_tiles(out, hx, hz, hc, grid, vol0=None, geom=G8):
         slab = c[..., :YTILE].transpose(2, 0, 4, 1, 3).reshape(
             TX, gyp, gzp
         )[:, :gy, :gz]
-        if vol0 is not None:
+        if vol0 is not None or xwin is not None:
             slab = slab + jax.lax.dynamic_slice(
-                vol, (tx * TX, 0, 0), (TX, gy, gz)
+                vol, ((xt0 + tx) * TX, 0, 0), (TX, gy, gz)
             )
-        return jax.lax.dynamic_update_slice(vol, slab, (tx * TX, 0, 0))
+        return jax.lax.dynamic_update_slice(
+            vol, slab, ((xt0 + tx) * TX, 0, 0)
+        )
 
     if vol0 is None:
         init = jnp.zeros((gxp, gy, gz), jnp.float32)
@@ -663,8 +695,11 @@ def _unpack_tiles(out, hx, hz, hc, grid, vol0=None, geom=G8):
         init = vol0 if gxp == gx else jnp.concatenate(
             [vol0, jnp.zeros((gxp - gx, gy, gz), jnp.float32)], axis=0
         )
-    vol = jax.lax.fori_loop(0, ntx, body, init)
-    return vol[: grid[0]]
+    vol = jax.lax.fori_loop(0, nxt, body, init)
+    vol = vol[: grid[0]]
+    if not carry_out:
+        return vol
+    return vol, (hx[(nxt - 1) * m :], hc[(nxt - 1) * m :])
 
 
 def _zero_bufs(ntiles, geom):
@@ -677,13 +712,18 @@ def _zero_bufs(ntiles, geom):
 
 
 def _dispatch_batch(geom, ppj, wj, rj, grid, np_pad, bufs, accumulate,
-                    subsample, interpret):
+                    subsample, interpret, xwin=None):
     """One prep -> align -> deposit dispatch of a padded particle batch into
     the bucket's tile buffers (the shared inner step of `splat_volume` and
-    `splat_volume_traced_engine`)."""
-    ntiles = _ntiles(grid, geom)
+    `splat_volume_traced_engine`). ``xwin`` restricts the dispatch to an
+    x-tile slab window whose (smaller) buffers the caller allocated."""
+    if xwin is None:
+        ntiles = _ntiles(grid, geom)
+    else:
+        gxp, gyp, gzp = _grid_pad(grid, geom)
+        ntiles = xwin[1] * (gyp // geom.YTILE) * (gzp // TZ)
     srcf, srci, starts, cnts, aoff = _prep_batch(
-        ppj, wj, rj, grid, np_pad, geom
+        ppj, wj, rj, grid, np_pad, geom, xwin
     )
     dstf = jnp.zeros((NF, np_pad), jnp.float32)
     dsti = jnp.concatenate(
@@ -739,28 +779,42 @@ def splat_volume_traced_engine(ppx, w, rpx, grid, subsample: int = 4,
 
 
 @jax.jit
-def _radius_stats(rpx):
-    """Fused per-workload radius statistics (one readback): max radius and
-    the two kernel-bucket population totals (huge = the remainder)."""
-    t_base = jnp.sum(rpx <= G8.RMAX)
-    t_mid = jnp.sum((rpx > G8.RMAX) & (rpx <= G16.RMAX))
-    return jnp.max(rpx), t_base, t_mid
+def _radius_stats(radii, ppu):
+    """Fused per-workload radius statistics (one readback): max PIXEL
+    radius, the two kernel-bucket population totals (huge = the remainder),
+    and whether the array is already sorted by radius class — pre-sorted
+    inputs (e.g. a host-side class sort before upload, as bench.py does)
+    skip the device partition copy, which matters at scale: a second full
+    copy of the particle arrays alive during a bucket pass OOMs a 16 GB
+    chip at 1e8 particles -> 1024^3. The pixel-radius product is computed
+    inside the fusion and never materialized (a resident rpx array would
+    cost 0.4 GB at 1e8 across every bucket pass)."""
+    rpx = radii * ppu
+    cls = jnp.where(
+        rpx <= G8.RMAX, 0, jnp.where(rpx <= G16.RMAX, 1, 2)
+    ).astype(jnp.int32)
+    t_base = jnp.sum(cls == 0)
+    t_mid = jnp.sum(cls == 1)
+    is_sorted = jnp.all(cls[1:] >= cls[:-1]) if rpx.shape[0] > 1 else jnp.bool_(True)
+    return jnp.max(rpx), t_base, t_mid, is_sorted
 
 
 @jax.jit
-def _partition_by_class(positions, weights, rpx):
+def _partition_by_class(positions, weights, radii, ppu):
     """Globally partition device-resident particles into the three radius
     classes (base <= 3 px < mid <= 7 px < huge) with ONE multi-operand
     ``lax.sort`` — payloads ride the comparator network (no post-sort
     gathers, per the no-gather invariant). Each bucket pass then runs on
     its contiguous subset, so a mixed workload costs one partition sort
-    instead of streaming the full array through every bucket pipeline."""
+    instead of streaming the full array through every bucket pipeline.
+    Radii stay raw (scaled to pixels per batch downstream)."""
     cls = jnp.where(
-        rpx <= G8.RMAX, 0, jnp.where(rpx <= G16.RMAX, 1, 2)
+        radii * ppu <= G8.RMAX, 0,
+        jnp.where(radii * ppu <= G16.RMAX, 1, 2),
     ).astype(jnp.int32)
     _, px, py, pz, ww, rr = jax.lax.sort(
         (cls, positions[:, 0], positions[:, 1], positions[:, 2], weights,
-         rpx),
+         radii),
         num_keys=1,
     )
     return jnp.stack([px, py, pz], axis=1), ww, rr
@@ -777,8 +831,8 @@ def _dense_tail(pos, w, rpx, vol, off, ppu, cnt_pad, grid, halfwidth,
     class-partitioned arrays onto ``vol``. ``off`` is traced (so varying
     workload compositions share one compile per ``cnt_pad`` rung); the
     slice start is clamped and non-huge rows below ``off`` are
-    weight-zeroed. Positions are raw units, scaled by ``ppu`` after the
-    slice (never materializing a full scaled copy)."""
+    weight-zeroed. Positions AND radii are raw units, scaled by ``ppu``
+    after the slice (never materializing full scaled copies)."""
     from .splat_dense import _default_chunk, splat_volume_dense_traced
 
     n = pos.shape[0]
@@ -803,7 +857,7 @@ def _dense_tail(pos, w, rpx, vol, off, ppu, cnt_pad, grid, halfwidth,
     ww = jnp.where(keep, ww, 0.0)
     rr = jnp.where(keep, rr, 1.0)
     return splat_volume_dense_traced(
-        pp * ppu, ww, rr, grid, halfwidth, subsample, vol, chunk
+        pp * ppu, ww, rr * ppu, grid, halfwidth, subsample, vol, chunk
     )
 
 
@@ -838,26 +892,32 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
         # device-resident fast path: no host round trip; bucket populations
         # come from one fused readback (which also lets e.g. an all-mid
         # workload skip the empty base-bucket pass)
-        rpx_all = radii * pixels_per_unit
         n = positions.shape[0]
         if n:
-            stats = jax.device_get(_radius_stats(rpx_all))
+            stats = jax.device_get(
+                _radius_stats(radii, float(pixels_per_unit))
+            )
             max_rpx = float(stats[0])
             t_base, t_mid = int(stats[1]), int(stats[2])
+            class_sorted = bool(stats[3])
         else:
             max_rpx = 0.0
             t_base = t_mid = 0
+            class_sorted = True
         n_huge = n - t_base - t_mid
-        if (t_base > 0) + (t_mid > 0) + (n_huge > 0) >= 2:
-            # mixed workload: ONE global class-partition sort, then every
-            # pass runs on its contiguous class slice — instead of each
-            # bucket pipeline streaming (and sorting) the full array. A
-            # single-class workload skips the partition entirely.
+        partitioned = (not class_sorted) and \
+            (t_base > 0) + (t_mid > 0) + (n_huge > 0) >= 2
+        if partitioned:
+            # mixed unsorted workload: ONE global class-partition sort, then
+            # every pass runs on its contiguous class slice — instead of
+            # each bucket pipeline streaming (and sorting) the full array.
+            # Single-class and pre-class-sorted workloads skip the partition
+            # (and its full-array device copy) entirely.
             pos_c, w_c, r_c = _partition_by_class(
-                positions, weights, rpx_all
+                positions, weights, radii, float(pixels_per_unit)
             )
         else:
-            pos_c, w_c, r_c = positions, weights, rpx_all
+            pos_c, w_c, r_c = positions, weights, radii
         pos_s = pos_mid = pos_c
         w_s = w_mid = w_c
         r_s = r_mid = r_c
@@ -865,6 +925,11 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
         mid_win = (t_base, t_mid)
         need_mid = t_mid > 0
         need_base = t_base > 0
+        # HBM the bucket runs must coexist with: the caller's input arrays
+        # (plus the partition copy when one was made)
+        resident = (positions.nbytes + weights.nbytes + radii.nbytes) * (
+            2 if partitioned else 1
+        )
     else:
         rpx_h = radii * pixels_per_unit
         huge = rpx_h > G16.RMAX
@@ -882,86 +947,153 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
         else:
             pos_s, w_s, r_s = pos_k, w_k, r_k
         need_base = pos_s.shape[0] > 0
+        resident = 0  # per-batch uploads only
 
     def run_bucket(geom, p_in, w_in, r_in, vol0, off=0, cnt=None):
         """Stream rows ``[off, off + cnt)`` of the inputs through the bucket
         pipeline (the contiguous class slice on the partitioned device
-        path; the whole array otherwise)."""
-        ntiles = _ntiles((gx, gy, gz), geom)
-        bufs = _zero_bufs(ntiles, geom)
+        path; the whole array otherwise). Device-path radii arrive raw and
+        are scaled to pixels per batch; numpy-path radii are pre-scaled.
+
+        HBM discipline: when this bucket's full-grid tile buffers plus the
+        resident arrays (inputs + the eventual volume) would overflow the
+        chip, the grid is processed as several x-tile slab WINDOWS — each
+        window allocates only its own tiles, re-streams the class slice
+        with window-filtered tile keys (``_pair_keys`` xwin), and +x spill
+        crossing a window boundary is chained through carry strips into the
+        next window's combine. The memory-bounded analog of the reference's
+        per-slice streaming (point_renderer.cpp:864-946)."""
+        grid3 = (gx, gy, gz)
+        gxp, gyp, gzp = _grid_pad(grid3, geom)
+        ntx, nty, ntz = gxp // TX, gyp // geom.YTILE, gzp // TZ
+        m = nty * ntz
+        H = geom.HALO
+        slab_bytes = 4 * m * TY * (TX * TZ + H * TZ + TX * H + H * H)
+        force = os.environ.get("NBODYHPC_TPU_SPLAT_SLABS")
+        if force:
+            nper = max(1, min(int(force), ntx))
+        else:
+            # default sized to one v5e chip: at 1e8 -> 1024^3 the G8 bucket
+            # stays single-run (round-1-proven 12.9 GB peak) while the G16
+            # bucket (whose full-grid buffers are 7.5 GB) splits into two
+            # x-window runs
+            budget = float(
+                os.environ.get("NBODYHPC_TPU_HBM_GB", "14.0")
+            ) * 2**30
+            vol_bytes = 4 * gxp * gy * gz
+            avail = budget - vol_bytes - resident - 1.5 * 2**30
+            nper = int(max(1, min(ntx, avail // slab_bytes)))
+        nruns = -(-ntx // nper)
+        nper = -(-ntx // nruns)  # balance window sizes
+
         n = p_in.shape[0] if cnt is None else cnt
 
-        first = True
-        for bi, s in enumerate(range(0, max(n, 1), batch)):
-            e = min(s + batch, n)
-            if e <= s:
-                break
+        def stage_host(s, e, xwin):
+            """Enqueue one batch's H2D upload + pair count (both async)."""
             nb = e - s
             nb_pad = (nb + 127) // 128 * 128
-            if device_in:
-                if nb == batch:  # uniform shapes: one compile, full batches
-                    ppj = jax.lax.dynamic_slice(
-                        p_in, (off + s, 0), (batch, 3)) * pixels_per_unit
-                    wj = jax.lax.dynamic_slice(w_in, (off + s,), (batch,))
-                    rj = jax.lax.dynamic_slice(r_in, (off + s,), (batch,))
-                else:  # final partial batch, zero-padded
-                    ppj = jnp.zeros((nb_pad, 3), jnp.float32).at[:nb].set(
-                        jax.lax.dynamic_slice(
-                            p_in, (off + s, 0), (nb, 3)) * pixels_per_unit
+            pp = np.zeros((nb_pad, 3), np.float32)
+            pp[:nb] = p_in[s:e] * pixels_per_unit
+            wb = np.zeros(nb_pad, np.float32)
+            wb[:nb] = w_in[s:e]
+            rb = np.ones(nb_pad, np.float32)
+            rb[:nb] = r_in[s:e]
+            ppj, wj, rj = jnp.asarray(pp), jnp.asarray(wb), jnp.asarray(rb)
+            return ppj, wj, rj, _count_pairs(ppj, rj, wj, grid3, geom, xwin)
+
+        vol = vol0
+        carry = None
+        for xt0 in range(0, ntx, nper):
+            nxt = min(nper, ntx - xt0)
+            xwin = None if nruns == 1 else (xt0, nxt)
+            ntiles = m * nxt
+            bufs = _zero_bufs(ntiles, geom)
+            staged = None
+            first = True
+            for bi, s in enumerate(range(0, max(n, 1), batch)):
+                e = min(s + batch, n)
+                if e <= s:
+                    break
+                nb = e - s
+                nb_pad = (nb + 127) // 128 * 128
+                if device_in:
+                    if nb == batch:  # uniform shapes: one compile per batch
+                        ppj = jax.lax.dynamic_slice(
+                            p_in, (off + s, 0), (batch, 3)
+                        ) * pixels_per_unit
+                        wj = jax.lax.dynamic_slice(
+                            w_in, (off + s,), (batch,))
+                        rj = jax.lax.dynamic_slice(
+                            r_in, (off + s,), (batch,)) * pixels_per_unit
+                    else:  # final partial batch, zero-padded
+                        ppj = jnp.zeros((nb_pad, 3), jnp.float32).at[:nb].set(
+                            jax.lax.dynamic_slice(
+                                p_in, (off + s, 0), (nb, 3)
+                            ) * pixels_per_unit
+                        )
+                        wj = jnp.zeros(nb_pad, jnp.float32).at[:nb].set(
+                            jax.lax.dynamic_slice(w_in, (off + s,), (nb,))
+                        )
+                        rj = jnp.ones(nb_pad, jnp.float32).at[:nb].set(
+                            jax.lax.dynamic_slice(r_in, (off + s,), (nb,))
+                            * pixels_per_unit
+                        )
+                    # valid pairs <= nb_pad always (1-slot assignment: each
+                    # particle emits at most one pair), so the stream is
+                    # sized from the batch size — no counting pass, no host
+                    # sync, and one compiled shape shared by full batches
+                    need = nb_pad + CHUNK * ntiles + ACHUNK + CHUNK
+                    np_pad = (need + ACHUNK - 1) // ACHUNK * ACHUNK
+                else:
+                    # dedicated-transfer-queue analog (reference
+                    # vulkan_support.cpp:204-237): uploads are enqueued one
+                    # batch AHEAD, so batch i+1's H2D transfer rides the
+                    # async dispatch stream while batch i computes — the
+                    # only per-batch host sync is the (tiny) pair count,
+                    # taken after the next upload is already in flight
+                    if staged is None:
+                        staged = stage_host(s, e, xwin)
+                    ppj, wj, rj, cnt_dev = staged
+                    staged = (
+                        stage_host(e, min(e + batch, n), xwin)
+                        if e < n else None
                     )
-                    wj = jnp.zeros(nb_pad, jnp.float32).at[:nb].set(
-                        jax.lax.dynamic_slice(w_in, (off + s,), (nb,))
-                    )
-                    rj = jnp.ones(nb_pad, jnp.float32).at[:nb].set(
-                        jax.lax.dynamic_slice(r_in, (off + s,), (nb,))
-                    )
-            else:
-                pp = np.zeros((nb_pad, 3), np.float32)
-                pp[:nb] = p_in[s:e] * pixels_per_unit
-                wb = np.zeros(nb_pad, np.float32)
-                wb[:nb] = w_in[s:e]
-                rb = np.ones(nb_pad, np.float32)
-                rb[:nb] = r_in[s:e]
-                ppj, wj, rj = jnp.asarray(pp), jnp.asarray(wb), jnp.asarray(rb)
-                npairs = int(
-                    _count_pairs(ppj, rj, wj, (gx, gy, gz), geom)
+                    npairs = int(cnt_dev)
+                    # geometric buckets bound the number of compiled shapes
+                    # across varying per-batch counts
+                    need = npairs + CHUNK * ntiles + ACHUNK + CHUNK
+                    np_pad = ACHUNK
+                    while np_pad < need:
+                        np_pad = (
+                            (int(np_pad * 11) // 10 + ACHUNK)
+                            // ACHUNK * ACHUNK
+                        )
+
+                bufs = _dispatch_batch(
+                    geom, ppj, wj, rj, grid3, np_pad, bufs,
+                    accumulate=not first, subsample=subsample,
+                    interpret=interpret, xwin=xwin,
                 )
+                first = False
+                if device_in and bi % 2 == 1:
+                    # bound async queue depth: without a sync, XLA keeps
+                    # several batches' sort/align transients alive at once
+                    # and OOMs
+                    float(jnp.sum(bufs[0][:1]))
 
-            if device_in:
-                # valid pairs <= nb_pad always (1-slot assignment: each
-                # particle emits at most one pair), so the stream is sized
-                # directly from the batch size — no counting pass, no host
-                # sync, and one compiled shape shared by every full batch
-                need = nb_pad + CHUNK * ntiles + ACHUNK + CHUNK
-                np_pad = (need + ACHUNK - 1) // ACHUNK * ACHUNK
-            else:
-                # host path: geometric buckets bound the number of compiled
-                # shapes across varying per-batch counts
-                need = npairs + CHUNK * ntiles + ACHUNK + CHUNK
-                np_pad = ACHUNK
-                while np_pad < need:
-                    np_pad = (
-                        (int(np_pad * 11) // 10 + ACHUNK) // ACHUNK * ACHUNK
-                    )
-
-            bufs = _dispatch_batch(
-                geom, ppj, wj, rj, (gx, gy, gz), np_pad, bufs,
-                accumulate=not first, subsample=subsample,
-                interpret=interpret,
-            )
-            first = False
-            if device_in and bi % 2 == 1:
-                # bound async queue depth: without a sync, XLA keeps several
-                # batches' sort/align transients alive at once and OOMs
+            if device_in and n:
+                # drain the batch pipeline before enqueueing the combine:
+                # the last batches' sort/align transients must be freed
+                # first, or they coexist with the combine's grid-sized
+                # buffers and OOM at 1024^3
                 float(jnp.sum(bufs[0][:1]))
-
-        if device_in and n:
-            # drain the batch pipeline before enqueueing the combine: the
-            # last batches' sort/align transients must be freed first, or
-            # they coexist with the combine's grid-sized buffers and OOM
-            # at 1024^3
-            float(jnp.sum(bufs[0][:1]))
-        return _unpack_tiles(*bufs, (gx, gy, gz), vol0, geom)
+            if xwin is None:
+                vol = _unpack_tiles(*bufs, grid3, vol, geom)
+            else:
+                vol, carry = _unpack_tiles(
+                    *bufs, grid3, vol, geom, xwin, carry, carry_out=True
+                )
+        return vol
 
     vol = None
     if need_base:

@@ -108,6 +108,42 @@ def test_splat_volume_numpy_routes_huge_to_dense():
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
 
 
+def test_splat_volume_device_class_sorted_skips_partition():
+    """Device inputs already sorted by radius class must take the
+    skip-partition path (bench.py pre-sorts on the host to avoid the
+    partition's second full-array copy) and still match the oracle."""
+    import jax.numpy as jnp
+
+    from nbodyhpc_tpu.ops import splat_pallas
+
+    grid = (24, 20, 24)
+    ppu = 24.0
+    rng = np.random.Generator(np.random.Philox(21))
+    n = 48
+    box = np.array([g / ppu for g in grid], np.float32)
+    pos = (rng.random((n, 3)).astype(np.float32) * box).astype(np.float32)
+    w = rng.random(n).astype(np.float32) + 0.5
+    r = np.concatenate(
+        [
+            (rng.random(16) * 2.9 / ppu),  # base class (<= 3 px)
+            ((3.2 + rng.random(16) * 3.5) / ppu),  # mid class ((3, 7] px)
+            ((8.0 + rng.random(16) * 6.0) / ppu),  # huge class (> 7 px)
+        ]
+    ).astype(np.float32)
+    # already class-sorted by construction; assert the detector agrees
+    stats = splat_pallas._radius_stats(jnp.asarray(r), ppu)
+    assert bool(stats[3])
+    assert int(stats[1]) == 16 and int(stats[2]) == 16
+    want = splat_volume_oracle(pos, w, r, ppu, grid)
+    got = np.asarray(
+        splat_pallas.splat_volume(
+            jnp.asarray(pos), jnp.asarray(w), jnp.asarray(r), ppu, grid,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
 @pytest.mark.slow
 def test_splat_volume_device_mixed_radii():
     """Device-resident mixed workload (sub-pixel + both buckets + huge),

@@ -181,3 +181,42 @@ def test_pallas_multitile_oracle_parity():
     )
     want = splat_volume_oracle(pos, w, r, ppu, grid)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_slab_window_runs_match_oracle(monkeypatch):
+    """Memory-bounded x-slab window runs (NBODYHPC_TPU_SPLAT_SLABS=1 forces
+    one x-tile slab per run): particles clustered on the x = 128 window
+    boundary exercise the carry-strip chaining (+x spill of window 0's last
+    slab folds into window 1's first slab), mixed radii exercise every
+    bucket inside the windowed pipeline, numpy AND device paths."""
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("NBODYHPC_TPU_SPLAT_SLABS", "1")
+    rng = np.random.Generator(np.random.Philox(77))
+    n = 120
+    grid = (256, 24, 24)  # ntx = 2 -> two window runs
+    ppu = 32.0
+    box = np.array([g / ppu for g in grid], np.float32)
+    pos = (rng.random((n, 3)).astype(np.float32) * box).astype(np.float32)
+    # half the particles hug the window seam from both sides
+    pos[: n // 2, 0] = (
+        128.0 + (rng.random(n // 2).astype(np.float32) - 0.5) * 24.0
+    ) / ppu
+    w = rng.random(n).astype(np.float32) + 0.5
+    r = np.empty(n, np.float32)
+    r[: n // 3] = rng.random(n // 3) * 2.5 + 0.2
+    r[n // 3 : 2 * n // 3] = rng.random(n // 3) * 3.5 + 3.2
+    r[2 * n // 3 :] = rng.random(n - 2 * n // 3) * 4.0 + 7.5
+    r = (r / ppu).astype(np.float32)
+    want = splat_volume_oracle(pos, w, r, ppu, grid)
+    got_np = np.asarray(
+        splat_pallas.splat_volume(pos, w, r, ppu, grid, interpret=True)
+    )
+    np.testing.assert_allclose(got_np, want, rtol=1e-6, atol=1e-7)
+    got_dev = np.asarray(
+        splat_pallas.splat_volume(
+            jnp.asarray(pos), jnp.asarray(w), jnp.asarray(r), ppu, grid,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got_dev, want, rtol=1e-6, atol=1e-7)
