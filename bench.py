@@ -34,9 +34,16 @@ without it.
 """
 import json
 import os
+import sys
 import time
 
 REF_PARTICLES_PER_S = 1.68e7 / 2.5
+
+_T0 = time.time()
+
+
+def _stamp(msg):
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def main():
@@ -60,13 +67,19 @@ def main():
     rng = np.random.Generator(np.random.Philox(12345))
     # CAMELS-like: positions uniform-ish, radii lognormal around the mean
     # interparticle spacing (~ grid / n^(1/3) pixels), UNclipped above —
-    # the tail exercises the G16 bucket and the dense > 7 px pass
+    # the tail exercises the G16 bucket and the dense > 7 px pass.
+    # Generated in float32 end to end: Generator.lognormal runs the whole
+    # pipeline in float64 (~3x the time and memory at 1e8 on this 1-core
+    # host, where prep wall time is what bounds the driver's bench run).
+    _stamp(f"generating {n:.0e} particles")
     pos = rng.random((n, 3), dtype=np.float32)
     w = np.ones(n, np.float32)
     spacing_px = grid / n ** (1.0 / 3.0)
-    rpx = np.maximum(
-        rng.lognormal(0.0, 0.35, n).astype(np.float32) * spacing_px, 0.1
-    )
+    rpx = rng.standard_normal(n, dtype=np.float32)
+    rpx *= np.float32(0.35)
+    np.exp(rpx, out=rpx)
+    rpx *= np.float32(spacing_px)
+    np.maximum(rpx, np.float32(0.1), out=rpx)
     r = (rpx / ppu).astype(np.float32)
     r_max = float(rpx.max())
     pct_mid = float(np.mean((rpx > 3.0) & (rpx <= 7.0)) * 100.0)
@@ -77,6 +90,7 @@ def main():
     # CPU vertex pre-processing (sort + periodic augmentation),
     # rasterization/README.md:27-31. The timed region is the device render;
     # the density stays in HBM (production disposition).
+    _stamp("periodic ghost augmentation")
     gp, gw, gr = augment_points_periodic(pos, w, r, (1.0, 1.0, 1.0))
     # host-side radius-class sort (base <= 3 px < mid <= 7 px < huge) before
     # upload: splat_volume detects class-sorted inputs and skips its device
@@ -84,12 +98,14 @@ def main():
     # pass's grid-scale tile buffers OOMs a 16 GB chip at 1e8 -> 1024^3.
     # Host prep, like augmentation, sits outside the timed region (the
     # reference's 2.5 s also excludes its CPU z-sort).
+    _stamp("host radius-class sort")
     grpx = gr * np.float32(ppu)
     cls = (grpx > splat_pallas.G8.RMAX).astype(np.int8)
     cls += grpx > splat_pallas.G16.RMAX
     order = np.argsort(cls, kind="stable")
     gp, gw, gr = gp[order], gw[order], gr[order]
     del grpx, cls, order
+    _stamp(f"uploading {(gp.nbytes + gw.nbytes + gr.nbytes) / 2**20:.0f} MiB")
     gpj = jnp.asarray(gp)
     gwj = jnp.asarray(gw)
     grj = jnp.asarray(gr)
@@ -100,12 +116,16 @@ def main():
 
     # warm up / compile on a small slice, then one full pass so the
     # full-shape programs are compiled (persistent cache) before timing
+    _stamp("warmup: small-slice render (compiles)")
     render(gpj[:131072], gwj[:131072], grj[:131072])
+    _stamp("warmup: full render")
     render(gpj, gwj, grj)
 
+    _stamp("timed render")
     t0 = time.time()
     total = render(gpj, gwj, grj)
     elapsed = time.time() - t0
+    _stamp(f"timed render done: {elapsed:.2f}s")
 
     # mass-quantization audit: expected deposited-mass ratio from the
     # footprint evaluator on an un-gridded sample (centered windows, no
@@ -148,7 +168,9 @@ def main():
 
     if os.environ.get("BENCH_KNN", "1") != "0":
         del gpj, gwj, grj  # free HBM before the kNN workload
+        _stamp("kNN workload")
         result.update(_bench_knn(jax, jnp, np))
+    _stamp("done")
 
     print(json.dumps(result))
 
