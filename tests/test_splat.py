@@ -144,6 +144,31 @@ def test_periodic_equals_manual_ghosts():
     np.testing.assert_allclose(vol_p, vol_g, rtol=1e-5, atol=1e-6)
 
 
+def test_device_ghost_augmentation_matches_host():
+    import jax.numpy as jnp
+
+    from nbodyhpc_tpu.ops.ghosts import (
+        augment_points_periodic,
+        augment_points_periodic_device,
+    )
+
+    rng = np.random.Generator(np.random.Philox(31))
+    n = 500
+    pos = rng.random((n, 3)).astype(np.float32)
+    w = rng.random(n).astype(np.float32)
+    # radii large enough that corner-crossers spawn multi-dim clone chains
+    r = rng.random(n).astype(np.float32) * 0.15 + 0.01
+    for box in ((1.0, 1.0, 1.0), (1.0, -1.0, 1.0), (-1.0, -1.0, -1.0)):
+        hp, hw, hr = augment_points_periodic(pos, w, r, box)
+        dp, dw, dr = augment_points_periodic_device(
+            jnp.asarray(pos), jnp.asarray(w), jnp.asarray(r), box
+        )
+        # identical clone ordering, bit-identical values
+        np.testing.assert_array_equal(np.asarray(dp), hp)
+        np.testing.assert_array_equal(np.asarray(dw), hw)
+        np.testing.assert_array_equal(np.asarray(dr), hr)
+
+
 def test_period_normalization_variants():
     pos = np.array([[0.05, 0.5, 0.5]], np.float32)
     w = np.array([1.0], np.float32)
