@@ -57,58 +57,62 @@ def main():
     import numpy as np
 
     from nbodyhpc_tpu.ops import splat_pallas
-    from nbodyhpc_tpu.ops.ghosts import augment_points_periodic
+    from nbodyhpc_tpu.ops.ghosts import augment_points_periodic_device
     from nbodyhpc_tpu.ops.splat import footprint_values, required_halfwidth
 
     n = int(float(os.environ.get("BENCH_N", 1e8)))
     grid = int(os.environ.get("BENCH_GRID", 1024))
     ppu = float(grid)  # unit box
 
-    rng = np.random.Generator(np.random.Philox(12345))
     # CAMELS-like: positions uniform-ish, radii lognormal around the mean
     # interparticle spacing (~ grid / n^(1/3) pixels), UNclipped above —
     # the tail exercises the G16 bucket and the dense > 7 px pass.
-    # Generated in float32 end to end: Generator.lognormal runs the whole
-    # pipeline in float64 (~3x the time and memory at 1e8 on this 1-core
-    # host, where prep wall time is what bounds the driver's bench run).
-    _stamp(f"generating {n:.0e} particles")
-    pos = rng.random((n, 3), dtype=np.float32)
-    w = np.ones(n, np.float32)
-    spacing_px = grid / n ** (1.0 / 3.0)
-    rpx = rng.standard_normal(n, dtype=np.float32)
-    rpx *= np.float32(0.35)
-    np.exp(rpx, out=rpx)
-    rpx *= np.float32(spacing_px)
-    np.maximum(rpx, np.float32(0.1), out=rpx)
-    r = (rpx / ppu).astype(np.float32)
-    r_max = float(rpx.max())
-    pct_mid = float(np.mean((rpx > 3.0) & (rpx <= 7.0)) * 100.0)
-    pct_huge = float(np.mean(rpx > 7.0) * 100.0)
+    # The workload is generated ON DEVICE: host-side numpy generation +
+    # augmentation + a 1.5 GiB tunnel upload cost ~30 min of wall clock on
+    # this 1-core host (and the upload swings 10x with tunnel weather),
+    # all outside the timed region but able to starve the driver's bench
+    # run. Distribution is unchanged (uniform positions, lognormal radii).
+    import jax.random as jr
 
-    # periodic ghost augmentation + upload happen OUTSIDE the timed region,
-    # matching the reference's methodology: its 2.5 s headline excludes the
-    # CPU vertex pre-processing (sort + periodic augmentation),
-    # rasterization/README.md:27-31. The timed region is the device render;
-    # the density stays in HBM (production disposition).
-    _stamp("periodic ghost augmentation")
-    gp, gw, gr = augment_points_periodic(pos, w, r, (1.0, 1.0, 1.0))
-    # host-side radius-class sort (base <= 3 px < mid <= 7 px < huge) before
-    # upload: splat_volume detects class-sorted inputs and skips its device
-    # partition sort, whose second full-array copy alive alongside a bucket
-    # pass's grid-scale tile buffers OOMs a 16 GB chip at 1e8 -> 1024^3.
-    # Host prep, like augmentation, sits outside the timed region (the
-    # reference's 2.5 s also excludes its CPU z-sort).
-    _stamp("host radius-class sort")
-    grpx = gr * np.float32(ppu)
-    cls = (grpx > splat_pallas.G8.RMAX).astype(np.int8)
-    cls += grpx > splat_pallas.G16.RMAX
-    order = np.argsort(cls, kind="stable")
-    gp, gw, gr = gp[order], gw[order], gr[order]
-    del grpx, cls, order
-    _stamp(f"uploading {(gp.nbytes + gw.nbytes + gr.nbytes) / 2**20:.0f} MiB")
-    gpj = jnp.asarray(gp)
-    gwj = jnp.asarray(gw)
-    grj = jnp.asarray(gr)
+    _stamp(f"generating {n:.0e} particles on device")
+    spacing_px = grid / n ** (1.0 / 3.0)
+    kp, kr = jr.split(jr.key(12345))
+    pos = jr.uniform(kp, (n, 3), jnp.float32)
+    rpx_d = jnp.maximum(
+        jnp.exp(jr.normal(kr, (n,), jnp.float32) * 0.35) * spacing_px, 0.1
+    )
+    r = rpx_d / np.float32(ppu)
+    w = jnp.ones(n, jnp.float32)
+    r_max, pct_mid, pct_huge = (
+        float(v)
+        for v in jax.jit(
+            lambda rp: (
+                jnp.max(rp),
+                jnp.mean((rp > 3.0) & (rp <= 7.0)) * 100.0,
+                jnp.mean(rp > 7.0) * 100.0,
+            )
+        )(rpx_d)
+    )
+    # host samples for the post-render mass-quantization audit (tiny D2H)
+    ns = 8192
+    pos_smp = np.asarray(pos[:ns])
+    rpx_smp = np.asarray(rpx_d[:ns])
+
+    # periodic ghost augmentation + radius-class partition happen OUTSIDE
+    # the timed region, matching the reference's methodology: its 2.5 s
+    # headline excludes the CPU vertex pre-processing (sort + periodic
+    # augmentation), rasterization/README.md:27-31. The timed region is the
+    # device render; the density stays in HBM (production disposition).
+    _stamp("periodic ghost augmentation (device)")
+    gpj, gwj, grj = augment_points_periodic_device(pos, w, r, (1.0, 1.0, 1.0))
+    del pos, w, r, rpx_d  # free HBM before the partition sort
+    # radius-class partition (base <= 3 px < mid <= 7 px < huge) up front:
+    # splat_volume detects class-sorted inputs and skips its own partition,
+    # whose second full-array copy alive alongside a bucket pass's
+    # grid-scale tile buffers would shrink the slab windows at 1e8 -> 1024^3
+    _stamp("device radius-class partition")
+    gpj, gwj, grj = splat_pallas._partition_by_class(gpj, gwj, grj, ppu)
+    float(jnp.sum(gwj[:1]))  # drain the sort transients before the render
 
     def render(p, ww, rr):
         vol = splat_pallas.splat_volume(p, ww, rr, ppu, (grid, grid, grid))
@@ -130,8 +134,8 @@ def main():
     # mass-quantization audit: expected deposited-mass ratio from the
     # footprint evaluator on an un-gridded sample (centered windows, no
     # clipping), chunked to bound the (C, F, F, F) transient
-    ns, cs = 8192, 512
-    hw = required_halfwidth(float(rpx[:ns].max()))
+    cs = 512
+    hw = required_halfwidth(float(rpx_smp.max()))
 
     @functools.partial(jax.jit, static_argnames=("hw",))
     def _chunk_mass(ppx, ww, rr, hw):
@@ -141,17 +145,17 @@ def main():
     dep = sum(
         float(
             _chunk_mass(
-                jnp.asarray(pos[i : i + cs] * ppu),
-                jnp.asarray(w[i : i + cs]),
-                jnp.asarray(rpx[i : i + cs]),
+                jnp.asarray(pos_smp[i : i + cs] * np.float32(ppu)),
+                jnp.ones(cs, jnp.float32),
+                jnp.asarray(rpx_smp[i : i + cs]),
                 hw,
             )
         )
         for i in range(0, ns, cs)
     )
-    mass_ratio_expected = dep / float(w[:ns].sum())
+    mass_ratio_expected = dep / float(ns)
 
-    mass_ratio = total / float(w.sum())
+    mass_ratio = total / float(n)  # unit weights: input mass == n
     pps = n / elapsed
     result = {
         "metric": f"splat_{n:.0e}_particles_{grid}^3_periodic",
@@ -176,18 +180,45 @@ def main():
 
 
 def _bench_knn(jax, jnp, np):
-    """PERF.md §2 workload through the public API, with a raw-upload tunnel
-    control so the e2e number is interpretable (see module docstring)."""
+    """PERF.md §2 workload, two dispositions:
+
+    - device-resident (production on real TPU hosts): points generated in
+      HBM, tree built in place, ``query_device`` results stay on device
+      (one checksum sync) — measures the framework, not the host link;
+    - end-to-end through the public numpy API (host arrays both ways) with
+      a raw-upload tunnel control, because under axon every byte rides a
+      tunnel whose bandwidth swings 50x day to day (measured 0.9-50 MB/s)
+      and e2e numbers are garbage without the control.
+    """
     import time
+
+    import jax.random as jr
 
     from nbodyhpc_tpu.kdtree import KDTree
 
     nk = int(float(os.environ.get("BENCH_KNN_N", 1e7)))
     nq = int(float(os.environ.get("BENCH_KNN_Q", 5e5)))
+
+    # --- device-resident workload ---
+    pts_d = jr.uniform(jr.key(99), (nk, 3), jnp.float32)
+    float(jnp.sum(pts_d[:1]))  # materialize before timing
+    t0 = time.time()
+    tree_d = KDTree(pts_d, boxsize=1.0)
+    float(jnp.sum(tree_d._dev[2][:1]))
+    build_dev_s = time.time() - t0
+    qd = pts_d[:nq]
+    dd, ii = tree_d.query_device(qd[:8192], k=16)  # warm compiles
+    float(jnp.sum(dd[:1]))
+    t0 = time.time()
+    dd, ii = tree_d.query_device(qd, k=16)
+    chk = float(jnp.sum(dd[:, -1]))  # one sync; results stay in HBM
+    query_dev_s = time.time() - t0
+    assert np.isfinite(chk) and dd.shape == (nq, 16)
+    del pts_d, tree_d, qd, dd, ii
+
+    # --- end-to-end numpy workload with tunnel control ---
     rng = np.random.Generator(np.random.Philox(99))
     pts = rng.random((nk, 3), dtype=np.float32)
-
-    # tunnel control: raw 50 MB H2D, timed by a host readback
     ctrl = rng.random((13_107_200,), dtype=np.float32)  # 50 MiB
     t0 = time.time()
     float(jnp.sum(jnp.asarray(ctrl)))
@@ -206,6 +237,8 @@ def _bench_knn(jax, jnp, np):
     query_s = time.time() - t0
     assert d.shape == (nq, 16) and float(np.max(d[:, 0])) < 1.0
     return {
+        "knn_qps_device": round(nq / query_dev_s, 1),
+        "knn_build_s_device": round(build_dev_s, 2),
         "knn_qps_e2e": round(nq / query_s, 1),
         "knn_build_s": round(build_s, 2),
         "knn_vs_proxy": round(nq / query_s / 8862.0, 3),

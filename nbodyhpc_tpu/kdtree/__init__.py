@@ -49,7 +49,10 @@ class KDTree:
         if len(kwargs) > 0:
             warnings.warn("Unrecognized keyword arguments: {}".format(kwargs))
         occupancy = max(2.0, float(leafsize) / 16.0)
-        self._tree = build_cell_list(np.asarray(points), boxsize=boxsize,
+        if isinstance(points, np.ndarray) or not hasattr(points, "devices"):
+            points = np.asarray(points)
+        # device-resident points build in place (build_cell_list device path)
+        self._tree = build_cell_list(points, boxsize=boxsize,
                                      occupancy=occupancy)
         self._dev = self._tree.dev or (
             jnp.asarray(self._tree.xyz),

@@ -83,6 +83,18 @@ def footprint_values(ppx, w, rpx, halfwidth: int, subsample: int, base=None):
     vz = base[:, 2:3] + off[None, :]
 
     # --- big-particle path (triangle.vert:41-45,61-63 + triangle.frag:25-45) ---
+    # Parity caveat: XLA's fusion emitter may FMA-contract the squared terms
+    # below into their consumers (r2 - (ax + ay) becomes an fma chain with
+    # fewer roundings), and a subcell compare whose margin is within ~1 ulp
+    # of r^2 then flips relative to a plain single-rounding evaluation in a
+    # SEPARATELY compiled program (e.g. the Pallas engine). This cannot be
+    # pinned from JAX — optimization barriers are dropped when the fusion
+    # recomputes from raw inputs (verified on XLA:CPU: the reduce fusion
+    # consumes the original ppx/rpx params). Consequence: oracle/engine
+    # agreement is exact up to at most ONE S^-3 subcell quantum per voxel
+    # on knife-edge subcells (measured one flip per ~1.4e6 subcell
+    # evaluations at 11 px radii); parity tests budget exactly that
+    # (see tests/test_splat_dense.py::_quantum_atol).
     zoff = pz[:, None] - (vz.astype(jnp.float32) + 0.5)  # (C, F)
     zclip = jnp.abs(zoff) <= rpx[:, None] + 1.0  # gl_ClipDistance cull
     plane_r = jnp.sqrt(jnp.maximum(rpx[:, None] ** 2 - zoff**2, 0.0))

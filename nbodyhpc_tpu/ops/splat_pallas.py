@@ -37,20 +37,23 @@ gather-free sort-then-accumulate pipeline:
 Tile geometry (bucket-parameterized, see ``_Geom``): tiles span
 (TX, YTILE, TZ) = (128, YTILE, 64) voxels with lanes = y (the roll axis):
 YTILE tile voxels + (TY - YTILE) y-halo lanes sized so a window based at
-by_local <= YTILE - 1 never wraps (G8: YTILE=120, halo 8; G16: YTILE=112,
-halo 16). Accumulator rows = (x + HALO-row halo) x (z + HALO-row halo).
-The left halos only absorb windows clamped at the grid origin (discarded);
-the right row halos carry +x/+z spill and lanes [YTILE, 128) carry +y
-spill (including the x/z-halo corners, which ride the same flush
-buffers).
+by_local <= YTILE - 1 never wraps. Accumulator rows = (x + HALO-row halo)
+x (z + HALO-row halo). The left halos only absorb windows clamped at the
+grid origin (discarded); the right row halos carry +x/+z spill and lanes
+[YTILE, 128) carry +y spill (including the x/z-halo corners, which ride
+the same flush buffers).
 
-Radius support: two kernel buckets partition the radius axis — G8 (8^3
-window, sub-pixel + radii <= 3 px, 16 particles per lane-packed group) and
-G16 (16^3 window, radii in (3, 7] px, 8 particles per group, YTILE=112 and
-16-wide halos). Each bucket runs the same sort->align->deposit pipeline with
-its own tile geometry and the fields are summed; radii > 7 px run through
-the oracle path (splat.py) and are summed in (see ``splat_volume``). This is
-the radius-bucketing strategy SURVEY.md §7.3 plans for variable footprints.
+Radius support: the ``BUCKETS`` ladder partitions the radius axis —
+G6/G8 (6^3/8^3 windows on the 8-lane stride, sub-pixel + radii <= 3 px),
+G10/G12/G16 (10/12/16^3 windows sharing the 16-lane stride — the window
+size F is decoupled from the lane stride FL, so work scales with the
+footprint actually needed instead of jumping 8^3 -> 16^3) and G32 (32^3,
+radii <= 15 px, replacing what used to be a latency-bound dense pass at
+~96 us/particle with a ~2.6 us/particle lane-packed kernel). Each bucket
+runs the same sort->align->deposit pipeline with its own tile geometry and
+the fields are summed; radii above the last rung take the dense clamped-
+window pass (splat_dense.py, unbounded). This is the radius-bucketing
+strategy SURVEY.md §7.3 plans for variable footprints.
 """
 from __future__ import annotations
 
@@ -75,19 +78,24 @@ NI = 4                      # i32 channels: tile bx_ext bz_ext by_local
 
 
 class _Geom(NamedTuple):
-    """Radius-bucket geometry: footprint window F per dim, y voxels per
-    tile (lanes [YTILE, 128) = in-tile y halo), x/z halo row width, and the
-    pixel-radius interval (RMIN, RMAX] this bucket deposits."""
+    """Radius-bucket geometry: footprint window F per dim, lane stride FL
+    (y-lane slots reserved per particle — the packing constraint is
+    128 % FL == 0, while F only needs F <= FL, so a 10^3 window can ride
+    the 16-lane packing with 6 masked lanes instead of paying a full 16^3
+    window), y voxels per tile (lanes [YTILE, 128) = in-tile y halo), x/z
+    halo row width, and the pixel-radius interval (RMIN, RMAX] this bucket
+    deposits."""
 
     F: int
+    FL: int
     YTILE: int
     HALO: int
     RMIN: float
     RMAX: float
 
     @property
-    def P(self):  # particles per lane-packed group (128 lanes / F y-slots)
-        return 128 // self.F
+    def P(self):  # particles per lane-packed group (128 lanes / FL slots)
+        return 128 // self.FL
 
     @property
     def XSLOTS(self):
@@ -98,12 +106,48 @@ class _Geom(NamedTuple):
         return TZ + 2 * self.HALO
 
 
-# bucket 1: sub-pixel + radii <= 3 px (8^3 window, 16 particles per group)
-G8 = _Geom(F=8, YTILE=120, HALO=8, RMIN=-1.0, RMAX=3.0)
-# bucket 2: radii in (3, 7] px (16^3 window, 8 particles per group)
-G16 = _Geom(F=16, YTILE=112, HALO=16, RMIN=3.0, RMAX=7.0)
+# The radius ladder. Window F must cover the reference's point size
+# 2*ceil(r) + 2 (triangle.vert:43-44,63), so bucket b covers
+# r <= F/2 - 1; per-particle VPU work scales with F^2 * FL, so finer rungs
+# pay off wherever the radius distribution concentrates. FL is 8, 16, or
+# 32 (128 % FL == 0 and FL | CHUNK); buckets with equal (FL, YTILE, HALO)
+# share tile-buffer shapes and combine programs. Sub-pixel particles
+# (r < 0.5) ride the first bucket. Radii above the last rung take the
+# dense large-radius pass (ops/splat_dense.py).
+G6 = _Geom(F=6, FL=8, YTILE=120, HALO=8, RMIN=-1.0, RMAX=2.0)
+G8 = _Geom(F=8, FL=8, YTILE=120, HALO=8, RMIN=2.0, RMAX=3.0)
+G10 = _Geom(F=10, FL=16, YTILE=112, HALO=16, RMIN=3.0, RMAX=4.0)
+G12 = _Geom(F=12, FL=16, YTILE=112, HALO=16, RMIN=4.0, RMAX=5.0)
+G16 = _Geom(F=16, FL=16, YTILE=112, HALO=16, RMIN=5.0, RMAX=7.0)
+G32 = _Geom(F=32, FL=32, YTILE=96, HALO=32, RMIN=7.0, RMAX=15.0)
+BUCKETS = (G6, G8, G10, G12, G16, G32)
 
-# base-bucket aliases used by tests; bucket-specific code reads G8/G16
+
+def _fold_geom(geom: _Geom) -> _Geom:
+    """Canonical geom for combine/align programs: ``_unpack_tiles`` and
+    ``_run_align`` depend only on (YTILE, HALO), so buckets sharing a tile
+    shape (G6/G8, G10/G12/G16) also share those compiled programs — at
+    1024^3 each combine compile is minutes of XLA time."""
+    for g in BUCKETS:
+        if (g.YTILE, g.HALO) == (geom.YTILE, geom.HALO):
+            return g
+    return geom
+
+
+def bucket_ladder(max_rpx: float):
+    """The contiguous bucket prefix covering radii up to ``max_rpx``
+    (eligibility intervals partition the radius axis, so callers must pass
+    prefixes — a lone (G8,) would drop radii <= 2 px). Radii above
+    ``BUCKETS[-1].RMAX`` are the callers' dense-pass responsibility."""
+    out = []
+    for g in BUCKETS:
+        out.append(g)
+        if max_rpx <= g.RMAX:
+            break
+    return tuple(out)
+
+
+# base-bucket aliases used by tests; bucket-specific code reads the ladder
 YTILE = G8.YTILE
 HALO = G8.HALO
 
@@ -117,9 +161,9 @@ def _deposit_kernel(tilei_ref, attrs_ref, _outin, _hxin, _hzin, _hcin,
                     out_ref, hx_ref, hz_ref, hc_ref, acc_ref, cur_ref,
                     sem_ref, *, subsample: int, accumulate: bool,
                     nchunks: int, geom: _Geom, interpret: bool):
-    F, HALO = geom.F, geom.HALO
+    F, FL, HALO = geom.F, geom.FL, geom.HALO
     XSLOTS, ZSLOTS = geom.XSLOTS, geom.ZSLOTS
-    P = geom.P            # particles per lane-packed group
+    P = geom.P            # particles per lane-packed group (128 // FL)
     NR = F * F            # accumulator rows covered by one window (x, z)
     c = pl.program_id(0)
 
@@ -173,13 +217,16 @@ def _deposit_kernel(tilei_ref, attrs_ref, _outin, _hxin, _hzin, _hcin,
         cur_ref[0] = tile
 
     expand_t = (
-        jax.lax.broadcasted_iota(jnp.int32, (P, 128), 1) // F
+        jax.lax.broadcasted_iota(jnp.int32, (P, 128), 1) // FL
         == jax.lax.broadcasted_iota(jnp.int32, (P, 128), 0)
     ).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (NR, TY), 1)
     irow = jax.lax.broadcasted_iota(jnp.int32, (NR, TY), 0) // F   # x offset
     zrow = jax.lax.broadcasted_iota(jnp.int32, (NR, TY), 0) % F    # z offset
-    yrel = (lane % F).astype(jnp.float32)
+    # lane slot j in [0, FL) within a particle's stride carries y-window
+    # offset j; slots j >= F (when FL > F) compute garbage y-deltas that
+    # the inwin mask at deposit time discards
+    yrel = (lane % FL).astype(jnp.float32)
     i_f = irow.astype(jnp.float32)
     z_f = zrow.astype(jnp.float32)
     S = subsample
@@ -195,7 +242,7 @@ def _deposit_kernel(tilei_ref, attrs_ref, _outin, _hxin, _hzin, _hcin,
             # a single bf16 rounding. Interpret mode therefore expands lanes
             # directly; Mosaic compiles the dots as written, so the real
             # TPU path below stays bit-exact (verified on device).
-            aexp = jnp.repeat(a16, F, axis=1)
+            aexp = jnp.repeat(a16, FL, axis=1)
         else:
             # exact f32 lane expansion via bf16x3 one-hot matmul (MXU
             # truncates inputs to bf16; three exact pieces reconstruct in
@@ -297,7 +344,7 @@ def _deposit_kernel(tilei_ref, attrs_ref, _outin, _hxin, _hzin, _hcin,
             bxe = tilei_ref[1, i]
             bze = tilei_ref[2, i]
             by = tilei_ref[3, i]
-            shift = jax.lax.rem(by - F * p + 256, 128)
+            shift = jax.lax.rem(by - FL * p + 256, 128)
             rolled = pltpu.roll(pc, shift, axis=1)
             inwin = (lane - by).astype(jnp.uint32) < F  # [by, by+F) ∩ [0,128)
             contrib = jnp.where(inwin, rolled, 0.0)
@@ -351,7 +398,15 @@ def _run_deposit(tilei, attrs, out_init, hx_init, hz_init, hc_init, nchunks,
             pltpu.SemaphoreType.DMA,
         ],
         input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # windows whose row count is not a sublane multiple (F = 6/10/12)
+        # lower their dynamic acc RMW through masked multi-tile updates
+        # whose stack exceeds the default 16 MiB scoped-vmem budget; the
+        # chip has 128 MiB of VMEM, so raise the ceiling instead of
+        # padding rows (which would forfeit the smaller windows' entire
+        # VPU saving)
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(tilei, attrs, out_init, hx_init, hz_init, hc_init)
 
@@ -735,7 +790,8 @@ def _dispatch_batch(geom, ppj, wj, rj, grid, np_pad, bufs, accumulate,
     )
     alf, ali = _run_align(
         starts, cnts, aoff, srcf, srci, dstf, dsti,
-        np_pad=np_pad, ntiles=ntiles, interpret=interpret, geom=geom,
+        np_pad=np_pad, ntiles=ntiles, interpret=interpret,
+        geom=_fold_geom(geom),
     )
     return _run_deposit(
         ali, alf, *bufs, nchunks=np_pad // CHUNK, ntiles=ntiles,
@@ -745,7 +801,7 @@ def _dispatch_batch(geom, ppj, wj, rj, grid, np_pad, bufs, accumulate,
 
 
 def splat_volume_traced_engine(ppx, w, rpx, grid, subsample: int = 4,
-                               interpret: bool = False, buckets=(G8,)):
+                               interpret: bool = False, buckets=(G6, G8)):
     """Fully-traced engine pipeline: one dispatch, no host control flow.
 
     Takes pixel-space positions/radii and renders the same field as
@@ -774,44 +830,47 @@ def splat_volume_traced_engine(ppx, w, rpx, grid, subsample: int = 4,
             geom, ppx, w, rpx, grid, np_pad, _zero_bufs(ntiles, geom),
             accumulate=False, subsample=subsample, interpret=interpret,
         )
-        vol = _unpack_tiles(*bufs, grid, vol, geom)
+        vol = _unpack_tiles(*bufs, grid, vol, _fold_geom(geom))
     return vol
+
+
+def _radius_class(rpx):
+    """Radius class index along the ladder: 0..len(BUCKETS)-1 for the
+    kernel buckets, len(BUCKETS) for the dense tail."""
+    cls = jnp.zeros(rpx.shape, jnp.int32)
+    for g in BUCKETS:
+        cls = cls + (rpx > g.RMAX)
+    return cls
 
 
 @jax.jit
 def _radius_stats(radii, ppu):
     """Fused per-workload radius statistics (one readback): max PIXEL
-    radius, the two kernel-bucket population totals (huge = the remainder),
-    and whether the array is already sorted by radius class — pre-sorted
-    inputs (e.g. a host-side class sort before upload, as bench.py does)
-    skip the device partition copy, which matters at scale: a second full
-    copy of the particle arrays alive during a bucket pass OOMs a 16 GB
-    chip at 1e8 particles -> 1024^3. The pixel-radius product is computed
-    inside the fusion and never materialized (a resident rpx array would
-    cost 0.4 GB at 1e8 across every bucket pass)."""
+    radius, the per-bucket population totals (the dense tail = the
+    remainder), and whether the array is already sorted by radius class —
+    pre-sorted inputs skip the device partition copy, which matters at
+    scale: a second full copy of the particle arrays alive during a bucket
+    pass OOMs a 16 GB chip at 1e8 particles -> 1024^3. The pixel-radius
+    product is computed inside the fusion and never materialized (a
+    resident rpx array would cost 0.4 GB at 1e8 across every bucket
+    pass)."""
     rpx = radii * ppu
-    cls = jnp.where(
-        rpx <= G8.RMAX, 0, jnp.where(rpx <= G16.RMAX, 1, 2)
-    ).astype(jnp.int32)
-    t_base = jnp.sum(cls == 0)
-    t_mid = jnp.sum(cls == 1)
+    cls = _radius_class(rpx)
+    counts = jnp.stack([jnp.sum(cls == i) for i in range(len(BUCKETS))])
     is_sorted = jnp.all(cls[1:] >= cls[:-1]) if rpx.shape[0] > 1 else jnp.bool_(True)
-    return jnp.max(rpx), t_base, t_mid, is_sorted
+    return jnp.max(rpx), counts, is_sorted
 
 
 @jax.jit
 def _partition_by_class(positions, weights, radii, ppu):
-    """Globally partition device-resident particles into the three radius
-    classes (base <= 3 px < mid <= 7 px < huge) with ONE multi-operand
-    ``lax.sort`` — payloads ride the comparator network (no post-sort
-    gathers, per the no-gather invariant). Each bucket pass then runs on
-    its contiguous subset, so a mixed workload costs one partition sort
-    instead of streaming the full array through every bucket pipeline.
-    Radii stay raw (scaled to pixels per batch downstream)."""
-    cls = jnp.where(
-        radii * ppu <= G8.RMAX, 0,
-        jnp.where(radii * ppu <= G16.RMAX, 1, 2),
-    ).astype(jnp.int32)
+    """Globally partition device-resident particles into the ladder's
+    radius classes with ONE multi-operand ``lax.sort`` — payloads ride the
+    comparator network (no post-sort gathers, per the no-gather
+    invariant). Each bucket pass then runs on its contiguous subset, so a
+    mixed workload costs one partition sort instead of streaming the full
+    array through every bucket pipeline. Radii stay raw (scaled to pixels
+    per batch downstream)."""
+    cls = _radius_class(radii * ppu)
     _, px, py, pz, ww, rr = jax.lax.sort(
         (cls, positions[:, 0], positions[:, 1], positions[:, 2], weights,
          radii),
@@ -868,14 +927,15 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
 
     Semantics identical to :func:`nbodyhpc_tpu.ops.splat.splat_volume_oracle`
     (non-periodic / pre-augmented particles). Returns a device-resident
-    (gx, gy, gz) float32 array. Radii route to the 8^3 kernel bucket
-    (<= 3 px), the 16^3 bucket ((3, 7] px), or the dense-window pass
-    (> 7 px, :mod:`nbodyhpc_tpu.ops.splat_dense` — unbounded radii).
-    On the numpy path each radius class runs on its own physical subset; on
-    the device path a mixed workload pays ONE global class-partition sort
-    (multi-operand ``lax.sort``, payloads in the comparator network) and
-    each pass then streams only its contiguous class slice — a pure
-    <= 3 px workload skips the partition and pays nothing extra.
+    (gx, gy, gz) float32 array. Radii route along the ``BUCKETS`` ladder
+    (6^3 window for <= 2 px through 32^3 for <= 15 px) with the dense-window
+    pass above the last rung (:mod:`nbodyhpc_tpu.ops.splat_dense` —
+    unbounded radii). On the numpy path each radius class runs on its own
+    physical subset; on the device path a mixed workload pays ONE global
+    class-partition sort (multi-operand ``lax.sort``, payloads in the
+    comparator network) and each pass then streams only its contiguous
+    class slice — a single-class workload skips the partition and pays
+    nothing extra.
     """
     device_in = isinstance(positions, jnp.ndarray)
     if not device_in:
@@ -887,26 +947,27 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
 
     gx, gy, gz = (int(v) for v in grid)
     batch = (batch + 127) // 128 * 128
+    nb = len(BUCKETS)
 
     if device_in:
         # device-resident fast path: no host round trip; bucket populations
-        # come from one fused readback (which also lets e.g. an all-mid
-        # workload skip the empty base-bucket pass)
+        # come from one fused readback (which also lets every empty bucket
+        # pass be skipped)
         n = positions.shape[0]
         if n:
             stats = jax.device_get(
                 _radius_stats(radii, float(pixels_per_unit))
             )
             max_rpx = float(stats[0])
-            t_base, t_mid = int(stats[1]), int(stats[2])
-            class_sorted = bool(stats[3])
+            counts = [int(v) for v in stats[1]]
+            class_sorted = bool(stats[2])
         else:
             max_rpx = 0.0
-            t_base = t_mid = 0
+            counts = [0] * nb
             class_sorted = True
-        n_huge = n - t_base - t_mid
-        partitioned = (not class_sorted) and \
-            (t_base > 0) + (t_mid > 0) + (n_huge > 0) >= 2
+        n_huge = n - sum(counts)
+        nonempty = sum(c > 0 for c in counts) + (n_huge > 0)
+        partitioned = (not class_sorted) and nonempty >= 2
         if partitioned:
             # mixed unsorted workload: ONE global class-partition sort, then
             # every pass runs on its contiguous class slice — instead of
@@ -918,13 +979,9 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
             )
         else:
             pos_c, w_c, r_c = positions, weights, radii
-        pos_s = pos_mid = pos_c
-        w_s = w_mid = w_c
-        r_s = r_mid = r_c
-        base_win = (0, t_base)
-        mid_win = (t_base, t_mid)
-        need_mid = t_mid > 0
-        need_base = t_base > 0
+        offs = [0]
+        for c in counts:
+            offs.append(offs[-1] + c)
         # HBM the bucket runs must coexist with: the caller's input arrays
         # (plus the partition copy when one was made)
         resident = (positions.nbytes + weights.nbytes + radii.nbytes) * (
@@ -932,21 +989,11 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
         )
     else:
         rpx_h = radii * pixels_per_unit
-        huge = rpx_h > G16.RMAX
+        cls_h = np.zeros(rpx_h.shape, np.int32)
+        for g in BUCKETS:
+            cls_h += rpx_h > g.RMAX
+        huge = cls_h == nb
         n_huge = int(np.count_nonzero(huge))
-        keep = ~huge if n_huge else slice(None)
-        pos_k, w_k, r_k = positions[keep], weights[keep], rpx_h[keep]
-        # the 16^3 bucket runs on its own (usually small) subset so its
-        # batches stay cheap; the base bucket sees the rest
-        mid = (r_k > G8.RMAX)
-        n_mid = int(np.count_nonzero(mid))
-        need_mid = n_mid > 0
-        if need_mid:
-            pos_mid, w_mid, r_mid = pos_k[mid], w_k[mid], r_k[mid]
-            pos_s, w_s, r_s = pos_k[~mid], w_k[~mid], r_k[~mid]
-        else:
-            pos_s, w_s, r_s = pos_k, w_k, r_k
-        need_base = pos_s.shape[0] > 0
         resident = 0  # per-batch uploads only
 
     def run_bucket(geom, p_in, w_in, r_in, vol0, off=0, cnt=None):
@@ -1088,28 +1135,29 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
                 # buffers and OOM at 1024^3
                 float(jnp.sum(bufs[0][:1]))
             if xwin is None:
-                vol = _unpack_tiles(*bufs, grid3, vol, geom)
+                vol = _unpack_tiles(*bufs, grid3, vol, _fold_geom(geom))
             else:
                 vol, carry = _unpack_tiles(
-                    *bufs, grid3, vol, geom, xwin, carry, carry_out=True
+                    *bufs, grid3, vol, _fold_geom(geom), xwin, carry,
+                    carry_out=True,
                 )
         return vol
 
     vol = None
-    if need_base:
+    for bi, geom in enumerate(BUCKETS):
         if device_in:
-            vol = run_bucket(G8, pos_s, w_s, r_s, None, *base_win)
+            if counts[bi] == 0:
+                continue
+            if vol is not None:
+                # free the previous bucket's tile buffers before allocating
+                # this one's (two grid-sized tile sets do not coexist)
+                float(jnp.sum(vol[:1, :1]))
+            vol = run_bucket(geom, pos_c, w_c, r_c, vol, offs[bi], counts[bi])
         else:
-            vol = run_bucket(G8, pos_s, w_s, r_s, None)
-    if need_mid:
-        if device_in and vol is not None:
-            # free the base bucket's tile buffers before allocating the
-            # 16^3 bucket's (two grid-sized tile sets do not coexist)
-            float(jnp.sum(vol[:1, :1]))
-        if device_in:
-            vol = run_bucket(G16, pos_mid, w_mid, r_mid, vol, *mid_win)
-        else:
-            vol = run_bucket(G16, pos_mid, w_mid, r_mid, vol)
+            m = cls_h == bi
+            if not m.any():
+                continue
+            vol = run_bucket(geom, positions[m], weights[m], rpx_h[m], vol)
     if vol is None:
         vol = jnp.zeros((gx, gy, gz), jnp.float32)
 
@@ -1127,7 +1175,7 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
             while cnt_pad < n_huge:
                 cnt_pad *= 2
             vol = _dense_tail(
-                pos_c, w_c, r_c, vol, t_base + t_mid,
+                pos_c, w_c, r_c, vol, offs[-1],
                 jnp.float32(pixels_per_unit), cnt_pad, (gx, gy, gz), hw,
                 subsample,
             )

@@ -144,7 +144,7 @@ def _render_shard_fn(gx, gy, gz_loc, subsample, cap, axis,
             chunk = _default_chunk(2 * dense_hw + 1)
             hc = min(huge_cap, all_w.shape[0])
             hc_pad = (hc + chunk - 1) // chunk * chunk
-            is_huge = (all_r > _splat.G16.RMAX) & (all_w != 0.0)
+            is_huge = (all_r > _splat.BUCKETS[-1].RMAX) & (all_w != 0.0)
             key = jnp.where(is_huge, 0, 1).astype(jnp.int32)
             _, hx, hy, hz, hw_, hr = jax.lax.sort(
                 (key, local[:, 0], local[:, 1], local[:, 2], all_w, all_r),
@@ -217,18 +217,15 @@ def render_points_volume_sharded(
     ppx = positions * pixels_per_unit
     rpx = radii * pixels_per_unit
     max_rpx = float(rpx.max()) if rpx.size else 0.0
-    # per-shard engine: the Pallas radius buckets cover radii <= 7 px (the
-    # exact bucket partition means a pure <= 3 px workload runs only the 8^3
-    # kernel); any larger radii run the dense large-radius pass on top,
-    # capped at the global huge count (overflow-checked, so always exact
-    # when the returned overflow is 0)
-    if max_rpx <= _splat.G8.RMAX:
-        buckets = (_splat.G8,)
-    else:
-        buckets = (_splat.G8, _splat.G16)
-    if max_rpx > _splat.G16.RMAX:
+    # per-shard engine: the contiguous Pallas bucket-ladder prefix covering
+    # max_rpx (the exact bucket partition means a pure <= 2 px workload
+    # runs only the 6^3 kernel); radii beyond the ladder's last rung run
+    # the dense large-radius pass on top, capped at the global huge count
+    # (overflow-checked, so always exact when the returned overflow is 0)
+    buckets = _splat.bucket_ladder(max_rpx)
+    if max_rpx > _splat.BUCKETS[-1].RMAX:
         dense_hw = dense_halfwidth(max_rpx)
-        n_huge_total = int(np.sum(rpx > _splat.G16.RMAX))
+        n_huge_total = int(np.sum(rpx > _splat.BUCKETS[-1].RMAX))
         huge_cap = round_up(max(n_huge_total, 1), 128)
     else:
         dense_hw = None

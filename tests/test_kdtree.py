@@ -271,6 +271,29 @@ def test_device_build_matches_host_build():
     np.testing.assert_allclose(rh.distances, rd.distances, rtol=1e-6)
 
 
+def test_device_resident_points_build():
+    """KDTree accepts device-resident points (no host round trip): same
+    tree and query results as the numpy build, box validation still
+    raises, non-periodic extent deduced on device."""
+    import jax.numpy as jnp
+
+    from nbodyhpc_tpu.kdtree import KDTree
+
+    pts = _random_points(4000, 93)
+    q = _random_points(150, 94)
+    for boxsize in (None, 1.0):
+        th = KDTree(pts, boxsize=boxsize)
+        td = KDTree(jnp.asarray(pts), boxsize=boxsize)
+        dh, ih = th.query(q, k=5)
+        dd, idd = td.query(q, k=5)
+        np.testing.assert_array_equal(ih, idd)
+        np.testing.assert_allclose(dh, dd, rtol=1e-6)
+    bad = pts.copy()
+    bad[7, 1] = 1.5
+    with np.testing.assert_raises(ValueError):
+        KDTree(jnp.asarray(bad), boxsize=1.0)
+
+
 def test_boundary_cell_convergence_small_dims():
     """Regression: with r+1 < C <= 2r+1 cells in a non-periodic dimension, a
     boundary-cell query's clipped cube misses the far cells; the old static

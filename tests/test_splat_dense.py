@@ -2,11 +2,11 @@
 
 The reference renders arbitrarily large points (unbounded gl_PointSize,
 rasterization/shaders/triangle.vert:43-44,63); the TPU engine's Pallas
-buckets stop at 7 px, so radii above that take the dense clamped-window
-pass. These tests pin (a) bit-level parity of the dense evaluator with the
-oracle, including window clamping at grid edges, (b) the mixed-radius
-routing in splat_volume (device-resident and numpy paths), and (c) the
-halfwidth bucket ladder.
+bucket ladder stops at 15 px (G32), so radii above that take the dense
+clamped-window pass. These tests pin (a) bit-level parity of the dense
+evaluator with the oracle, including window clamping at grid edges, (b)
+the mixed-radius routing in splat_volume (device-resident and numpy
+paths), and (c) the halfwidth bucket ladder.
 """
 import numpy as np
 import pytest
@@ -26,6 +26,27 @@ def _particles(n, seed, grid, ppu, rpx_lo, rpx_hi):
     w = rng.random(n).astype(np.float32) + 0.5
     r = ((rpx_lo + rng.random(n) * (rpx_hi - rpx_lo)) / ppu).astype(np.float32)
     return pos, w, r
+
+
+def _quantum_atol(w, rpx, subsample=4):
+    """One knife-edge subcell quantum: max over large particles of
+    w / (4/3 pi rpx^3) / S^3.
+
+    Separately compiled XLA programs (oracle scatter vs Pallas engine) may
+    FMA-contract the r^2 - (ax + ay) chain differently, flipping a subcell
+    compare whose margin is within ~1 ulp of r^2 — at most one S^-3 quantum
+    per voxel (ops/splat.py big-particle docstring; measured one flip per
+    ~1.4e6 subcell evaluations at 11 px radii). Engine-vs-oracle checks
+    budget exactly that on top of the float32 round-off tolerance. The
+    budget covers only rpx >= 4 (ulp(r^2) >= 2e-6, the band where flips
+    are reachable); smaller radii keep the tight tolerance so real
+    deposit bugs there stay visible."""
+    rpx = np.asarray(rpx, np.float64)
+    big = rpx >= 4.0
+    if not np.any(big):
+        return 0.0
+    vol = 4.0 / 3.0 * np.pi * rpx[big] ** 3
+    return float((np.asarray(w, np.float64)[big] / vol).max()) / subsample**3
 
 
 def test_dense_matches_oracle_large_radii():
@@ -105,7 +126,9 @@ def test_splat_volume_numpy_routes_huge_to_dense():
     got = np.asarray(
         splat_pallas.splat_volume(pos, w, r, ppu, grid, interpret=True)
     )
-    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        got, want, rtol=1e-6, atol=1e-7 + _quantum_atol(w, r * ppu)
+    )
 
 
 def test_splat_volume_device_class_sorted_skips_partition():
@@ -123,17 +146,21 @@ def test_splat_volume_device_class_sorted_skips_partition():
     box = np.array([g / ppu for g in grid], np.float32)
     pos = (rng.random((n, 3)).astype(np.float32) * box).astype(np.float32)
     w = rng.random(n).astype(np.float32) + 0.5
-    r = np.concatenate(
-        [
-            (rng.random(16) * 2.9 / ppu),  # base class (<= 3 px)
-            ((3.2 + rng.random(16) * 3.5) / ppu),  # mid class ((3, 7] px)
-            ((8.0 + rng.random(16) * 6.0) / ppu),  # huge class (> 7 px)
-        ]
-    ).astype(np.float32)
-    # already class-sorted by construction; assert the detector agrees
+    r = np.sort(
+        np.concatenate(
+            [
+                (rng.random(16) * 2.9 / ppu),       # G6/G8 classes
+                ((3.2 + rng.random(16) * 3.5) / ppu),  # G10/G12/G16
+                ((8.0 + rng.random(16) * 6.0) / ppu),  # G32 class
+            ]
+        ).astype(np.float32)
+    )
+    # ascending radii are class-sorted along the whole ladder; assert the
+    # detector agrees and every particle lands in a kernel bucket
     stats = splat_pallas._radius_stats(jnp.asarray(r), ppu)
-    assert bool(stats[3])
-    assert int(stats[1]) == 16 and int(stats[2]) == 16
+    assert bool(stats[2])
+    counts = np.asarray(stats[1])
+    assert counts.sum() == 48 and counts[-1] == 16
     want = splat_volume_oracle(pos, w, r, ppu, grid)
     got = np.asarray(
         splat_pallas.splat_volume(
@@ -141,7 +168,9 @@ def test_splat_volume_device_class_sorted_skips_partition():
             interpret=True,
         )
     )
-    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        got, want, rtol=1e-6, atol=1e-7 + _quantum_atol(w, r * ppu)
+    )
 
 
 @pytest.mark.slow
@@ -176,4 +205,6 @@ def test_splat_volume_device_mixed_radii():
             batch=128, interpret=True,
         )
     )
-    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        got, want, rtol=1e-6, atol=1e-7 + _quantum_atol(w, r * ppu)
+    )
