@@ -24,13 +24,15 @@ the un-gridded footprint integral on a device-evaluated sample, making the
 attribution part of the bench artifact.
 
 Secondary k-NN metric (BENCH_KNN=0 skips): the PERF.md §2 workload — 1e7-
-point tree build + 5e5 self-queries k=16 end-to-end through the public
-KDTree API (reference harness: kdtree/src/cpp/main.cpp:130-174; measured
-proxy baseline on this host: scipy cKDTree 8,862 q/s, build 52 s — PERF.md).
-End-to-end numbers ride the axon tunnel, whose bandwidth swings 2-4x day to
-day, so the artifact includes its own control: ``tunnel_h2d_mbs`` times a raw
-50 MB upload immediately before the kNN runs. Never interpret knn_qps_e2e
-without it.
+point tree build + 5e5 self-queries k=16, both device-resident and
+end-to-end through the public KDTree API (reference harness:
+kdtree/src/cpp/main.cpp:130-174; measured reference-binary baseline on
+this host's 1-core Xeon: 165,959 qps periodic, build 0.86 s — BASELINE.md,
+measured 2026-08-18). End-to-end numbers ride the axon tunnel, whose
+bandwidth swings 2-4x day to day, so the artifact includes its own
+control: ``tunnel_h2d_mbs`` times a raw 50 MB upload immediately before
+the kNN runs. Never interpret knn_qps_e2e without it; ``knn_vs_ref``
+scores the device-resident disposition against the reference binary.
 """
 import json
 import os
@@ -241,7 +243,8 @@ def _bench_knn(jax, jnp, np):
         "knn_build_s_device": round(build_dev_s, 2),
         "knn_qps_e2e": round(nq / query_s, 1),
         "knn_build_s": round(build_s, 2),
-        "knn_vs_proxy": round(nq / query_s / 8862.0, 3),
+        # reference kdtree_main on this host, periodic, 1 core (BASELINE.md)
+        "knn_vs_ref": round(nq / query_dev_s / 165959.0, 3),
         "tunnel_h2d_mbs": round(h2d_mbs, 1),
     }
 
