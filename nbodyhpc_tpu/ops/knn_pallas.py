@@ -302,24 +302,37 @@ def build_blocks(tree, queries_w, qcell):
     prow[:, 2 * NRUNS : 3 * NRUNS] = shift
 
     # --- pack pieces into physical blocks (first-fit on size-desc order) ---
+    # inherently sequential (each placement depends on the running fill):
+    # native first_fit_pack when the C extension is present (~1 ms), else
+    # the identical Python loop (~1.1 s at 5e5 queries — the dominant host
+    # cost of the whole prep; PERF.md §2)
     psz = valid_slot.sum(axis=1).astype(np.int64)
     porder = np.argsort(-psz, kind="stable")
-    blk_of_piece = np.zeros(npieces, np.int64)
-    slot_base = np.zeros(npieces, np.int64)
-    gslot = np.zeros(npieces, np.int64)
-    cur_b, cur_fill, cur_n = 0, 0, 0
-    for p in porder:
-        s = int(psz[p])
-        if cur_n == G or cur_fill + s > QB:
-            cur_b += 1
-            cur_fill = 0
-            cur_n = 0
-        blk_of_piece[p] = cur_b
-        slot_base[p] = cur_fill
-        gslot[p] = cur_n
-        cur_fill += s
-        cur_n += 1
-    nb2 = cur_b + 1
+    try:
+        from nbodyhpc_tpu import _hostio  # type: ignore
+    except ImportError:
+        _hostio = None
+    if _hostio is not None and hasattr(_hostio, "first_fit_pack"):
+        nb2, blk_of_piece, slot_base, gslot = _hostio.first_fit_pack(
+            psz, porder, QB, G
+        )
+    else:
+        blk_of_piece = np.zeros(npieces, np.int64)
+        slot_base = np.zeros(npieces, np.int64)
+        gslot = np.zeros(npieces, np.int64)
+        cur_b, cur_fill, cur_n = 0, 0, 0
+        for p in porder:
+            s = int(psz[p])
+            if cur_n == G or cur_fill + s > QB:
+                cur_b += 1
+                cur_fill = 0
+                cur_n = 0
+            blk_of_piece[p] = cur_b
+            slot_base[p] = cur_fill
+            gslot[p] = cur_n
+            cur_fill += s
+            cur_n += 1
+        nb2 = cur_b + 1
 
     runs2 = np.zeros((nb2, G, 128), np.int32)
     runs2[blk_of_piece, gslot, :] = prow
@@ -361,13 +374,23 @@ def _topk_blocks(d2, k):
 
 
 def query_blocks(tree, tree_dev, queries, k: int, batch_blocks: int = 1024,
-                 interpret: bool = False):
+                 interpret: bool = False, qchunk: int = 131072):
     """Fast path for large batched queries on TPU.
 
     Answers every query from its DMA-fetched 27-cell neighborhood and returns
     (distances^2 [Q, k], tree slots [Q, k], converged [Q]) in the caller's
     query order. Queries in flagged blocks or failing the r=1 box-distance
     bound come back unconverged and must be finished by the exact ladder.
+
+    Queries are processed in ``qchunk``-sized chunks so the host-side block
+    build of chunk i+1 overlaps the (async) kernel + top-k of chunk i — the
+    reference spends ~0 host time per query (pybind.cpp:164-172 fan-out),
+    and the serial prep was the largest non-tunnel cost of this path
+    (~1 s per 5e5 queries, PERF.md §2). One macro of device results stays
+    in flight, drained only after the next macro is enqueued, so host
+    transfers also overlap device compute (unchanged from the unchunked
+    design; chunking slightly lowers piece-packing occupancy because pieces
+    never span a chunk boundary).
     """
     xyz, index, offsets = tree_dev
     dims = np.asarray(tree.dims)
@@ -390,106 +413,139 @@ def query_blocks(tree, tree_dev, queries, k: int, batch_blocks: int = 1024,
     else:
         qcell = np.clip(qcell, 0, dims[None, :] - 1)
 
-    (order, qmap, qblk, runs, piece_of_q, blk_of_piece, gslot,
-     flagged) = build_blocks(tree, qw, qcell)
-    nblocks = qblk.shape[0]
+    d2_out = np.empty((Q, k), np.float32)
+    slot_out = np.empty((Q, k), np.int64)
+    conv_out = np.empty(Q, bool)
 
-    # pad to a power-of-two bucket (capped at batch_blocks): a handful of
-    # kernel/top-k shapes ever compile, and empty pad blocks (all lens
-    # zero) cost only masked VPU work
-    bucket = 1
-    while bucket < min(nblocks, batch_blocks):
-        bucket *= 2
-    nb_pad = (nblocks + bucket - 1) // bucket * bucket
-    if nb_pad > nblocks:
-        runs = np.concatenate(
-            [runs, np.zeros((nb_pad - nblocks, G, 128), np.int32)]
-        )
-        qpad = np.zeros((nb_pad - nblocks, QB, 4), np.float32)
-        qpad[:, :, 3] = -1.0
-        qblk = np.concatenate([qblk, qpad])
+    def prep(c0, c1):
+        """Host block build for queries [c0, c1) -> chunk state."""
+        qw_c = qw[c0:c1]
+        (order, qmap, qblk, runs, piece_of_q, blk_of_piece, gslot,
+         flagged) = build_blocks(tree, qw_c, qcell[c0:c1])
+        nblocks = qblk.shape[0]
+        # pad to a power-of-two bucket (capped at batch_blocks): a handful
+        # of kernel/top-k shapes ever compile, and empty pad blocks (all
+        # lens zero) cost only masked VPU work
+        bucket = 1
+        while bucket < min(nblocks, batch_blocks):
+            bucket *= 2
+        nb_pad = (nblocks + bucket - 1) // bucket * bucket
+        if nb_pad > nblocks:
+            runs = np.concatenate(
+                [runs, np.zeros((nb_pad - nblocks, G, 128), np.int32)]
+            )
+            qpad = np.zeros((nb_pad - nblocks, QB, 4), np.float32)
+            qpad[:, :, 3] = -1.0
+            qblk = np.concatenate([qblk, qpad])
+        nq = c1 - c0
+        msize = min(batch_blocks, nb_pad)
+        return {
+            "c0": c0, "nq": nq, "order": order, "qmap": qmap, "qblk": qblk,
+            "runs": runs, "piece_of_q": piece_of_q,
+            "blk_of_piece": blk_of_piece, "gslot": gslot, "flagged": flagged,
+            "nblocks": nblocks, "nb_pad": nb_pad, "msize": msize,
+            "d2_s": np.empty((nq, k), np.float32),
+            "sel_s": np.empty((nq, k), np.int32),
+            "left": (nb_pad + msize - 1) // msize,
+        }
 
-    d2_s = np.empty((Q, k), np.float32)
-    sel_s = np.empty((Q, k), np.int32)
-
-    def drain(b0, b1, dk, sk):
-        sl = qmap[b0 * QB : b1 * QB]
-        sl = sl[: max(min(nblocks, b1) - b0, 0) * QB]
+    def drain(st, b0, b1, dk, sk):
+        sl = st["qmap"][b0 * QB : b1 * QB]
+        sl = sl[: max(min(st["nblocks"], b1) - b0, 0) * QB]
         real = sl >= 0
-        if not real.any():
-            return
-        d2_s[sl[real]] = np.asarray(dk)[: sl.size][real]
-        sel_s[sl[real]] = np.asarray(sk)[: sl.size][real]
+        if real.any():
+            st["d2_s"][sl[real]] = np.asarray(dk)[: sl.size][real]
+            st["sel_s"][sl[real]] = np.asarray(sk)[: sl.size][real]
+        st["left"] -= 1
+        if st["left"] == 0:
+            finish(st)
 
-    msize = min(batch_blocks, nb_pad)
-    pending = None
-    for b0 in range(0, nb_pad, msize):
-        b1 = b0 + msize
-        d2 = _run_knn(
-            jnp.asarray(runs[b0:b1]), jnp.asarray(qblk[b0:b1]), xyz,
-            nblocks=msize, periodic=periodic, box=box,
-            interpret=interpret,
+    def finish(st):
+        """Chunk epilogue (host): candidate index -> tree slot, r=1 cube
+        convergence bound, writeback in caller order."""
+        c0, nq = st["c0"], st["nq"]
+        runs = st["runs"]
+        d2_s, sel_s = st["d2_s"], st["sel_s"]
+        order, piece_of_q = st["order"], st["piece_of_q"]
+        # candidates were rolled to lane 0: tree slot = s0 + shift + lane;
+        # runs are per (block, piece slot)
+        blk_of_sorted = st["blk_of_piece"][piece_of_q]
+        g_of_sorted = st["gslot"][piece_of_q]
+        r_of = sel_s // RCAP
+        slot = (
+            runs[blk_of_sorted[:, None], g_of_sorted[:, None], r_of]
+            + runs[blk_of_sorted[:, None], g_of_sorted[:, None],
+                   2 * NRUNS + r_of]
+            + (sel_s % RCAP)
         )
-        dk, sk = _topk_blocks(d2, k)
-        # drain the PREVIOUS macro only after this one is enqueued: the
-        # blocking host transfer then overlaps the device compute
-        if pending is not None:
-            drain(*pending)
-        pending = (b0, b1, dk, sk)
+
+        # r=1 cube box-distance convergence bound (reference
+        # kdtree_impl.hpp:239-267 pruning, applied to the complement of the
+        # scanned cube). A periodic dimension with C <= 3 is fully wrapped
+        # for every query; a non-periodic one is fully scanned only when
+        # the clipped [a, b] interval covers [0, C-1] — evaluated PER QUERY
+        # (a boundary-cell query with C = 3 misses the far cell; the old
+        # static shortcut certified wrong neighbors as converged).
+        qws = qw[c0 : c0 + nq][order]
+        qcs = qcell[c0 : c0 + nq][order]
+        db = np.full(nq, np.inf)
+        covered = np.ones(nq, bool)
+        for dim in range(3):
+            C = int(dims[dim])
+            hd = float(h[dim])
+            if periodic:
+                if 3 >= C:
+                    continue  # fully wrapped: no bound from this dimension
+                covered[:] = False  # an unscanned arc exists for every query
+                face = (qcs[:, dim] - 1) * hd + lo[dim]
+                dlo = qws[:, dim] - face
+                dhi = 3 * hd - dlo
+                db = np.minimum(db, np.maximum(np.minimum(dlo, dhi), 0.0))
+            else:
+                a = np.maximum(qcs[:, dim] - 1, 0)
+                bq = np.minimum(qcs[:, dim] + 1, C - 1)
+                covered &= (a == 0) & (bq == C - 1)
+                dlo = np.where(a > 0, qws[:, dim] - (a * hd + lo[dim]),
+                               np.inf)
+                dhi = np.where(bq < C - 1,
+                               ((bq + 1) * hd + lo[dim]) - qws[:, dim],
+                               np.inf)
+                db = np.minimum(db, np.maximum(np.minimum(dlo, dhi), 0.0))
+        kth2 = d2_s[:, -1].astype(np.float64)
+        conv = (kth2 < db * db) | covered
+        conv &= ~st["flagged"][piece_of_q]
+        if periodic and (int(dims[0]) < 3 or int(dims[1]) < 3):
+            # wrapped 3x3 neighbor columns alias when an x/y dimension has
+            # fewer than 3 cells, duplicating candidates — defer such
+            # (tiny) trees entirely to the exact ladder
+            conv[:] = False
+
+        # back to caller order: sorted position p answers original query
+        # c0 + order[p]
+        dst = c0 + order
+        d2_out[dst] = d2_s
+        slot_out[dst] = slot
+        conv_out[dst] = conv
+        # free the chunk's tables promptly (runs/qblk are the big ones)
+        st.clear()
+
+    pending = None
+    for c0 in range(0, Q, qchunk):
+        st = prep(c0, min(c0 + qchunk, Q))
+        for b0 in range(0, st["nb_pad"], st["msize"]):
+            b1 = b0 + st["msize"]
+            d2 = _run_knn(
+                jnp.asarray(st["runs"][b0:b1]), jnp.asarray(st["qblk"][b0:b1]),
+                xyz, nblocks=st["msize"], periodic=periodic, box=box,
+                interpret=interpret,
+            )
+            dk, sk = _topk_blocks(d2, k)
+            # drain the PREVIOUS macro only after this one is enqueued: the
+            # blocking host transfer (and the next chunk's host prep)
+            # overlaps the device compute
+            if pending is not None:
+                drain(*pending)
+            pending = (st, b0, b1, dk, sk)
     if pending is not None:
         drain(*pending)
-
-    # candidate index -> tree slot (candidates were rolled to lane 0:
-    # tree slot = s0 + shift + lane); runs are per (block, piece slot)
-    blk_of_sorted = blk_of_piece[piece_of_q]
-    g_of_sorted = gslot[piece_of_q]
-    r_of = sel_s // RCAP
-    slot = (
-        runs[blk_of_sorted[:, None], g_of_sorted[:, None], r_of]
-        + runs[blk_of_sorted[:, None], g_of_sorted[:, None], 2 * NRUNS + r_of]
-        + (sel_s % RCAP)
-    )
-
-    # r=1 cube box-distance convergence bound (reference kdtree_impl.hpp:
-    # 239-267 pruning, applied to the complement of the scanned cube). A
-    # periodic dimension with C <= 3 is fully wrapped for every query; a
-    # non-periodic one is fully scanned only when the clipped [a, b]
-    # interval covers [0, C-1] — evaluated PER QUERY (a boundary-cell query
-    # with C = 3 misses the far cell; the old static shortcut certified
-    # wrong neighbors as converged).
-    qws = qw[order]
-    qcs = qcell[order]
-    db = np.full(Q, np.inf)
-    covered = np.ones(Q, bool)
-    for dim in range(3):
-        C = int(dims[dim])
-        hd = float(h[dim])
-        if periodic:
-            if 3 >= C:
-                continue  # fully wrapped: no bound from this dimension
-            covered[:] = False  # an unscanned arc exists for every query
-            face = (qcs[:, dim] - 1) * hd + lo[dim]
-            dlo = qws[:, dim] - face
-            dhi = 3 * hd - dlo
-            db = np.minimum(db, np.maximum(np.minimum(dlo, dhi), 0.0))
-        else:
-            a = np.maximum(qcs[:, dim] - 1, 0)
-            bq = np.minimum(qcs[:, dim] + 1, C - 1)
-            covered &= (a == 0) & (bq == C - 1)
-            dlo = np.where(a > 0, qws[:, dim] - (a * hd + lo[dim]), np.inf)
-            dhi = np.where(bq < C - 1, ((bq + 1) * hd + lo[dim]) - qws[:, dim],
-                           np.inf)
-            db = np.minimum(db, np.maximum(np.minimum(dlo, dhi), 0.0))
-    kth2 = d2_s[:, -1].astype(np.float64)
-    conv = (kth2 < db * db) | covered
-    conv &= ~flagged[piece_of_q]
-    if periodic and (int(dims[0]) < 3 or int(dims[1]) < 3):
-        # wrapped 3x3 neighbor columns alias when an x/y dimension has
-        # fewer than 3 cells, duplicating candidates — defer such (tiny)
-        # trees entirely to the exact ladder
-        conv[:] = False
-
-    # back to caller order
-    inv = np.empty(Q, np.int64)
-    inv[order] = np.arange(Q)
-    return d2_s[inv], slot[inv], conv[inv]
+    return d2_out, slot_out, conv_out

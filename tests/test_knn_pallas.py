@@ -24,6 +24,31 @@ def test_kernel_path_matches_exact(periodic):
 
 
 @pytest.mark.slow
+def test_query_blocks_chunked_matches_unchunked():
+    """qchunk smaller than Q: per-chunk prep/drain must return the same
+    answers (and the same convergence verdicts' *answers* after the ladder)
+    as one big chunk — pins the overlapped-prep refactor."""
+    from nbodyhpc_tpu.ops import knn_pallas
+
+    pts = _pts(3000, 31)
+    q = _pts(500, 32)
+    tree = KDTree(pts, boxsize=1.0)
+    one = knn_pallas.query_blocks(
+        tree._tree, tree._dev, q, 5, interpret=True, qchunk=1 << 20
+    )
+    few = knn_pallas.query_blocks(
+        tree._tree, tree._dev, q, 5, interpret=True, qchunk=128
+    )
+    # chunking regroups pieces, so tie ORDER inside a block may differ;
+    # distances and the converged mask's certified answers must agree
+    np.testing.assert_allclose(few[0], one[0], rtol=1e-6)
+    both = one[2] & few[2]
+    np.testing.assert_array_equal(
+        np.sort(few[1][both], axis=1), np.sort(one[1][both], axis=1)
+    )
+
+
+@pytest.mark.slow
 def test_kernel_path_clustered_escalates():
     rng = np.random.Generator(np.random.Philox(5))
     cluster = (rng.normal(scale=0.002, size=(3000, 3)) + 0.5).astype(np.float32)
