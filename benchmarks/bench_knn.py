@@ -51,14 +51,60 @@ def bench_query(n, nq, ks):
                   f"({len(q)/dt:.0f} q/s)")
 
 
+def bench_roofline(nbytes=1 << 28, rows=1 << 16, cands=512, reps=5):
+    """Device rooflines framing the query numbers, the analog of the
+    reference's Memcpy / ReduceDistance baselines
+    (benchmark_insertion.cpp:253-274): (a) HBM copy bandwidth, (b) the
+    leaf-scan kernel's idealized form — per row, evaluate ``cands``
+    squared distances and reduce to the min — which bounds any candidate
+    scan at this (rows, candidates) shape."""
+    import jax
+    import jax.numpy as jnp
+
+    print("== rooflines ==")
+    x = jnp.zeros(nbytes // 4, jnp.float32)
+    copy = jax.jit(lambda a: a + 1.0)
+    copy(x).block_until_ready()  # warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        x = copy(x)
+    x.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    # read + write
+    print(f"  memcpy-analog: {2 * nbytes / dt / 1e9:.1f} GB/s")
+
+    rng = np.random.Generator(np.random.Philox(9))
+    qv = jnp.asarray(rng.random((rows, 3), dtype=np.float32))
+    cv = jnp.asarray(rng.random((cands, 3), dtype=np.float32))
+
+    @jax.jit
+    def reduce_distance(qv, cv):
+        d = qv[:, None, :] - cv[None, :, :]
+        return jnp.min(jnp.sum(d * d, axis=-1), axis=1)
+
+    reduce_distance(qv, cv).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        reduce_distance(qv, cv).block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    visited = rows * cands
+    print(
+        f"  reduce-distance ({rows}x{cands}): {dt * 1e3:.2f} ms = "
+        f"{visited / dt / 1e9:.2f} G candidate-dists/s "
+        f"(~{visited * 8 / dt / 1e12:.2f} Tflop/s)"
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
     if args.quick:
+        bench_roofline(nbytes=1 << 24, rows=1 << 10, cands=128, reps=2)
         bench_build([1e5], [8.0])
         bench_query(1e5, 2e4, [8])
     else:
+        bench_roofline()
         bench_build([2**20, 2**22, 2**24], [4.0, 8.0, 16.0, 32.0])
         bench_query(1e7, 5e5, [1, 8, 16])
 

@@ -590,9 +590,20 @@ def _count_pairs(ppx, rpx, w, grid, geom=G8, xwin=None):
 @functools.partial(
     jax.jit, static_argnames=("grid", "np_pad", "geom", "xwin")
 )
-def _prep_batch(pos_px, w, rpx, grid, np_pad, geom=G8, xwin=None):
+def _prep_batch(pos_px, w, rpx, grid, np_pad, geom=G8, xwin=None,
+                key_in=None):
     """Pair expansion -> multi-operand sort -> elementwise channel derivation
-    -> per-tile starts/counts/aligned offsets. No gathers anywhere."""
+    -> per-tile starts/counts/aligned offsets. No gathers anywhere.
+
+    ``key_in``: window-local tile keys carried from the global fused
+    partition sort (:func:`_fused_partition`) — the batch is already
+    grouped by tile, so the per-batch sort is skipped entirely. The key
+    MUST be the materialized sort channel, never recomputed from the
+    positions here: across separately compiled programs XLA may
+    FMA-contract the ``pos * ppu - C`` window-base chain differently and
+    flip a ``ceil`` on a knife-edge particle, splitting the tile
+    assignment from the key order (the round-1 double-rounding lesson,
+    see the oracle-contract note in ops/splat.py)."""
     F, HALO, YTILE = geom.F, geom.HALO, geom.YTILE
     gxp, gyp, gzp = _grid_pad(grid, geom)
     ntx, nty, ntz = gxp // TX, gyp // YTILE, gzp // TZ
@@ -600,17 +611,20 @@ def _prep_batch(pos_px, w, rpx, grid, np_pad, geom=G8, xwin=None):
     ntiles = nxt * nty * ntz
     n = pos_px.shape[0]
 
-    # one tile per particle (re-based to the slab window when given)
-    key, _ = _pair_keys(pos_px, rpx, w, grid, geom, xwin)
     px = pos_px[:, 0]
     py = pos_px[:, 1]
     pz = pos_px[:, 2]
     ww = w
     rr = rpx
 
-    key, px, py, pz, ww, rr = jax.lax.sort(
-        (key, px, py, pz, ww, rr), num_keys=1
-    )
+    if key_in is not None:
+        key = key_in
+    else:
+        # one tile per particle (re-based to the slab window when given)
+        key, _ = _pair_keys(pos_px, rpx, w, grid, geom, xwin)
+        key, px, py, pz, ww, rr = jax.lax.sort(
+            (key, px, py, pz, ww, rr), num_keys=1
+        )
 
     if np_pad > key.shape[0]:  # tiny batches on many-tile grids
         pad = np_pad - key.shape[0]
@@ -767,18 +781,20 @@ def _zero_bufs(ntiles, geom):
 
 
 def _dispatch_batch(geom, ppj, wj, rj, grid, np_pad, bufs, accumulate,
-                    subsample, interpret, xwin=None):
+                    subsample, interpret, xwin=None, key_in=None):
     """One prep -> align -> deposit dispatch of a padded particle batch into
     the bucket's tile buffers (the shared inner step of `splat_volume` and
     `splat_volume_traced_engine`). ``xwin`` restricts the dispatch to an
-    x-tile slab window whose (smaller) buffers the caller allocated."""
+    x-tile slab window whose (smaller) buffers the caller allocated;
+    ``key_in`` = window-local keys of an already-tile-sorted batch (the
+    fused-partition fast path — no per-batch sort)."""
     if xwin is None:
         ntiles = _ntiles(grid, geom)
     else:
         gxp, gyp, gzp = _grid_pad(grid, geom)
         ntiles = xwin[1] * (gyp // geom.YTILE) * (gzp // TZ)
     srcf, srci, starts, cnts, aoff = _prep_batch(
-        ppj, wj, rj, grid, np_pad, geom, xwin
+        ppj, wj, rj, grid, np_pad, geom, xwin, key_in
     )
     dstf = jnp.zeros((NF, np_pad), jnp.float32)
     dsti = jnp.concatenate(
@@ -861,22 +877,134 @@ def _radius_stats(radii, ppu):
     return jnp.max(rpx), counts, is_sorted
 
 
-@jax.jit
-def _partition_by_class(positions, weights, radii, ppu):
-    """Globally partition device-resident particles into the ladder's
-    radius classes with ONE multi-operand ``lax.sort`` — payloads ride the
-    comparator network (no post-sort gathers, per the no-gather
-    invariant). Each bucket pass then runs on its contiguous subset, so a
-    mixed workload costs one partition sort instead of streaming the full
-    array through every bucket pipeline. Radii stay raw (scaled to pixels
-    per batch downstream)."""
-    cls = _radius_class(radii * ppu)
-    _, px, py, pz, ww, rr = jax.lax.sort(
-        (cls, positions[:, 0], positions[:, 1], positions[:, 2], weights,
-         radii),
-        num_keys=1,
+def _fused_bases(grid):
+    """Key-space layout of the fused partition sort: per-bucket base key,
+    then the dense-tail key, then the trash key (ineligible kernel-class
+    particles: zero weight or footprint entirely off-grid — they deposit
+    nothing and must not reach the dense pass)."""
+    bases = []
+    base = 0
+    for g in BUCKETS:
+        bases.append(base)
+        base += _ntiles(grid, g)
+    return bases, base, base + 1
+
+
+class FusedPartition(NamedTuple):
+    """A particle set pre-sorted by the fused (radius class, tile) key —
+    the TPU analog of the reference's CPU vertex pre-processing
+    (``sort_vertices`` + periodic augmentation, vertex_utilities.cpp:7-43):
+    run once, outside any timed render, then every :func:`splat_volume`
+    pass streams contiguous pre-grouped slices with no per-batch sorts.
+    Build with :func:`prepartition`; pass to :func:`splat_volume` in place
+    of ``positions`` (with ``weights``/``radii`` = None)."""
+
+    pos_px: jnp.ndarray   # [N, 3] positions, PIXEL units, fused-sorted
+    w: jnp.ndarray        # [N] weights (trash rows zeroed)
+    rpx: jnp.ndarray      # [N] radii, PIXEL units
+    key: jnp.ndarray      # [N] the materialized fused sort key
+    grid: tuple           # (gx, gy, gz) this partition was built for
+    wtabs: tuple          # per bucket: x-slab row-offset table (ntx+1,)
+    kbases: tuple         # per bucket: key base in the fused key space
+    dense_off: int        # first row of the dense (> last rung) tail
+    n_huge: int           # dense-tail population (excludes trash)
+    max_rpx: float        # max pixel radius over the whole set
+
+
+def prepartition(positions, weights, radii, pixels_per_unit, grid):
+    """Fused-partition device-resident particles for :func:`splat_volume`
+    (see :class:`FusedPartition`). Scaling to pixel units happens eagerly
+    HERE, before the sort jit — the downstream window-base math is then a
+    single subtract on materialized values (see ``_fused_partition``)."""
+    grid3 = tuple(int(v) for v in grid)
+    n = positions.shape[0]
+    ppx = positions * jnp.float32(pixels_per_unit)
+    rpx = radii * jnp.float32(pixels_per_unit)
+    pos_c, w_c, r_c, key_c, offs_dev, rmax = _fused_partition(
+        ppx, weights, rpx, grid3
     )
-    return jnp.stack([px, py, pz], axis=1), ww, rr
+    del ppx, rpx  # donated into the partition sort
+    fo = [int(v) for v in jax.device_get(offs_dev)] + [n]
+    kbases, _, _ = _fused_bases(grid3)
+    wtabs, cum = [], 0
+    for g in BUCKETS:
+        ntx_g = _grid_pad(grid3, g)[0] // TX
+        wtabs.append(tuple(fo[cum : cum + ntx_g + 1]))
+        cum += ntx_g
+    return FusedPartition(
+        pos_px=pos_c, w=w_c, rpx=r_c, key=key_c, grid=grid3,
+        wtabs=tuple(wtabs), kbases=tuple(kbases), dense_off=fo[cum],
+        n_huge=fo[cum + 1] - fo[cum], max_rpx=float(rmax),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("grid",), donate_argnums=(0, 2))
+def _fused_partition(ppx, w, rpx, grid):
+    """ONE global multi-operand sort by the combined (radius class, tile)
+    key — the fusion of the class-partition sort with every bucket pass's
+    per-batch tile sort (each radius class maps to exactly one bucket
+    geometry, so its tile assignment is known globally). Downstream, every
+    batch of a class slice is already tile-grouped and ``_prep_batch``
+    skips its sort; x-slab window runs stream only their own contiguous
+    key range instead of re-streaming the whole class with window-filtered
+    keys.
+
+    ``ppx``/``rpx`` MUST be materialized pixel-space arrays (the caller
+    scales eagerly, outside any jit): the window-base chain is then
+    ``ceil(ppx - C)`` — one correctly-rounded subtract that every program
+    reproduces bit-identically. Scaling in-fusion would let XLA contract
+    ``pos * ppu - C`` into an FMA here but not in ``_prep_batch``,
+    flipping knife-edge tile assignments between the carried key and the
+    recomputed window base.
+
+    Returns sorted (positions[N,3], weights, radii, key) — all in pixel
+    units — plus the boundary offsets of every (class, x-slab) range:
+    ``offs[cum_ntx[c] + xt]`` is the first row of class ``c``'s x-tile
+    ``xt`` (layout from :func:`_fused_boundaries`), followed by the
+    dense-tail start, trash start, and ``n``. Trash rows keep their slot
+    but have their weight zeroed (they would deposit nothing anyway —
+    zeroing keeps them inert even through the dense slice's tail).
+    """
+    bases, dense_key, trash_key = _fused_bases(grid)
+    key = jnp.full(ppx.shape[0], -1, jnp.int32)
+    for g, base in zip(BUCKETS, bases):
+        kg, _ = _pair_keys(ppx, rpx, w, grid, g)
+        key = jnp.where(kg < _ntiles(grid, g), base + kg, key)
+    cls = _radius_class(rpx)
+    key = jnp.where(
+        key < 0,
+        jnp.where(cls == len(BUCKETS), dense_key, trash_key),
+        key,
+    )
+    key, px, py, pz, ww, rr = jax.lax.sort(
+        (key, ppx[:, 0], ppx[:, 1], ppx[:, 2], w, rpx), num_keys=1
+    )
+    ww = jnp.where(key >= trash_key, 0.0, ww)
+    bvals = jnp.asarray(_fused_boundaries(grid), jnp.int32)
+    offs = jnp.searchsorted(key, bvals).astype(jnp.int32)
+    return (
+        jnp.stack([px, py, pz], axis=1), ww, rr, key, offs,
+        jnp.max(rpx) if rpx.shape[0] else jnp.float32(0.0),
+    )
+
+
+def _fused_boundaries(grid):
+    """Boundary key values matching :func:`_fused_partition`'s ``offs``:
+    for each bucket, the key at the start of each of its x-tile slabs
+    (tile ids are x-major, so an x-slab window is a contiguous key range),
+    then the dense-tail key and the trash key. Host-side layout helper:
+    ``offs`` index of class ``c``, x-tile ``xt`` = ``cum[c] + xt`` where
+    ``cum`` accumulates each class's ntx."""
+    bases, dense_key, trash_key = _fused_bases(grid)
+    vals = []
+    for g, base in zip(BUCKETS, bases):
+        gxp, gyp, gzp = _grid_pad(grid, g)
+        m = (gyp // g.YTILE) * (gzp // TZ)
+        for xt in range(gxp // TX):
+            vals.append(base + xt * m)
+    vals.append(dense_key)
+    vals.append(trash_key)
+    return vals
 
 
 @functools.partial(
@@ -932,12 +1060,15 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
     pass above the last rung (:mod:`nbodyhpc_tpu.ops.splat_dense` —
     unbounded radii). On the numpy path each radius class runs on its own
     physical subset; on the device path a mixed workload pays ONE global
-    class-partition sort (multi-operand ``lax.sort``, payloads in the
-    comparator network) and each pass then streams only its contiguous
-    class slice — a single-class workload skips the partition and pays
-    nothing extra.
+    FUSED sort by (radius class, tile) — multi-operand ``lax.sort``,
+    payloads riding the comparator network — after which every bucket
+    pass streams contiguous pre-tile-grouped slices with NO per-batch
+    sorts (a single-class workload skips the partition and keeps the
+    per-batch sort path). Hoist the sort out of repeated/timed renders by
+    passing a :func:`prepartition` result as ``positions``.
     """
-    device_in = isinstance(positions, jnp.ndarray)
+    part = positions if isinstance(positions, FusedPartition) else None
+    device_in = part is not None or isinstance(positions, jnp.ndarray)
     if not device_in:
         positions = np.asarray(positions, np.float32)
         weights = np.asarray(weights, np.float32)
@@ -948,8 +1079,9 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
     gx, gy, gz = (int(v) for v in grid)
     batch = (batch + 127) // 128 * 128
     nb = len(BUCKETS)
+    resident_extra = 0
 
-    if device_in:
+    if part is None and device_in:
         # device-resident fast path: no host round trip; bucket populations
         # come from one fused readback (which also lets every empty bucket
         # pass be skipped)
@@ -967,26 +1099,52 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
             class_sorted = True
         n_huge = n - sum(counts)
         nonempty = sum(c > 0 for c in counts) + (n_huge > 0)
-        partitioned = (not class_sorted) and nonempty >= 2
-        if partitioned:
-            # mixed unsorted workload: ONE global class-partition sort, then
-            # every pass runs on its contiguous class slice — instead of
-            # each bucket pipeline streaming (and sorting) the full array.
-            # Single-class and pre-class-sorted workloads skip the partition
-            # (and its full-array device copy) entirely.
-            pos_c, w_c, r_c = _partition_by_class(
-                positions, weights, radii, float(pixels_per_unit)
+        if (not class_sorted) and nonempty >= 2:
+            # mixed unsorted workload: ONE global FUSED sort by (radius
+            # class, tile) — the class partition and every bucket's
+            # per-batch tile sort collapse into a single pass (each class
+            # maps to exactly one bucket geometry). Bucket passes then
+            # stream contiguous, already-tile-grouped slices: no per-batch
+            # sorts, and memory-bounded x-window runs stream only their own
+            # key range instead of re-streaming the whole class.
+            part = prepartition(
+                positions, weights, radii, pixels_per_unit, (gx, gy, gz)
             )
-        else:
-            pos_c, w_c, r_c = positions, weights, radii
+            # the caller still holds the raw arrays alongside our partition
+            resident_extra = (
+                positions.nbytes + weights.nbytes + radii.nbytes
+            )
+
+    if part is not None:
+        if tuple(part.grid) != (gx, gy, gz):
+            raise ValueError(
+                f"FusedPartition built for grid {part.grid}, "
+                f"render asked for {(gx, gy, gz)}"
+            )
+        n = part.pos_px.shape[0]
+        pos_c, w_c, r_c, key_c = part.pos_px, part.w, part.rpx, part.key
+        wtabs, kbases = part.wtabs, part.kbases
+        # eligible-only counts: ineligible kernel-class rows (zero weight /
+        # fully off-grid) sorted into the trash tail, skipped entirely
+        counts = [t[-1] - t[0] for t in wtabs]
+        offs = [t[0] for t in wtabs] + [part.dense_off]
+        n_huge = part.n_huge
+        max_rpx = part.max_rpx
+        # the sorted pixel-unit copies + carried key channel are what
+        # coexists with the bucket buffers (callers' raw arrays usually
+        # stay alive too, but the partition itself holds these four)
+        resident = (
+            pos_c.nbytes + w_c.nbytes + r_c.nbytes + key_c.nbytes
+            + resident_extra
+        )
+    elif device_in:
+        pos_c, w_c, r_c = positions, weights, radii
+        key_c = None
+        wtabs = kbases = None
         offs = [0]
         for c in counts:
             offs.append(offs[-1] + c)
-        # HBM the bucket runs must coexist with: the caller's input arrays
-        # (plus the partition copy when one was made)
-        resident = (positions.nbytes + weights.nbytes + radii.nbytes) * (
-            2 if partitioned else 1
-        )
+        resident = positions.nbytes + weights.nbytes + radii.nbytes
     else:
         rpx_h = radii * pixels_per_unit
         cls_h = np.zeros(rpx_h.shape, np.int32)
@@ -996,11 +1154,19 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
         n_huge = int(np.count_nonzero(huge))
         resident = 0  # per-batch uploads only
 
-    def run_bucket(geom, p_in, w_in, r_in, vol0, off=0, cnt=None):
+    def run_bucket(geom, p_in, w_in, r_in, vol0, off=0, cnt=None,
+                   key_in=None, wtab=None, kbase=0):
         """Stream rows ``[off, off + cnt)`` of the inputs through the bucket
         pipeline (the contiguous class slice on the partitioned device
         path; the whole array otherwise). Device-path radii arrive raw and
         are scaled to pixels per batch; numpy-path radii are pre-scaled.
+
+        Fused-partition mode (``key_in``/``wtab``/``kbase`` set): the
+        inputs are globally sorted by (class, tile) and already in pixel
+        units; ``wtab[xt]`` is the absolute row where the class's x-tile
+        slab ``xt`` starts, so each x-window run streams ONLY its own
+        contiguous rows and every batch goes to ``_prep_batch`` pre-sorted
+        (the carried key channel replaces the per-batch sort).
 
         HBM discipline: when this bucket's full-grid tile buffers plus the
         resident arrays (inputs + the eventual volume) would overflow the
@@ -1054,37 +1220,65 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
             nxt = min(nper, ntx - xt0)
             xwin = None if nruns == 1 else (xt0, nxt)
             ntiles = m * nxt
+            if wtab is not None:
+                # fused mode: this window's own contiguous row range
+                row0 = wtab[xt0]
+                wn = wtab[min(xt0 + nxt, ntx)] - row0
+                kb = kbase + xt0 * m
+            else:
+                row0, wn = off, n
             bufs = _zero_bufs(ntiles, geom)
             staged = None
             first = True
-            for bi, s in enumerate(range(0, max(n, 1), batch)):
-                e = min(s + batch, n)
+            for bi, s in enumerate(range(0, max(wn, 1), batch)):
+                e = min(s + batch, wn)
                 if e <= s:
                     break
                 nb = e - s
                 nb_pad = (nb + 127) // 128 * 128
+                kj = None
                 if device_in:
+                    # fused inputs are already pixel-scaled; never multiply
+                    # them again (even *1.0 would be an extra full-batch
+                    # copy in the timed loop)
+                    def _scaled(a):
+                        return a if wtab is not None else a * pixels_per_unit
+
                     if nb == batch:  # uniform shapes: one compile per batch
-                        ppj = jax.lax.dynamic_slice(
-                            p_in, (off + s, 0), (batch, 3)
-                        ) * pixels_per_unit
+                        ppj = _scaled(jax.lax.dynamic_slice(
+                            p_in, (row0 + s, 0), (batch, 3)
+                        ))
                         wj = jax.lax.dynamic_slice(
-                            w_in, (off + s,), (batch,))
-                        rj = jax.lax.dynamic_slice(
-                            r_in, (off + s,), (batch,)) * pixels_per_unit
+                            w_in, (row0 + s,), (batch,))
+                        rj = _scaled(jax.lax.dynamic_slice(
+                            r_in, (row0 + s,), (batch,)))
+                        if wtab is not None:
+                            kj = jax.lax.dynamic_slice(
+                                key_in, (row0 + s,), (batch,)
+                            ) - kb
                     else:  # final partial batch, zero-padded
                         ppj = jnp.zeros((nb_pad, 3), jnp.float32).at[:nb].set(
-                            jax.lax.dynamic_slice(
-                                p_in, (off + s, 0), (nb, 3)
-                            ) * pixels_per_unit
+                            _scaled(jax.lax.dynamic_slice(
+                                p_in, (row0 + s, 0), (nb, 3)
+                            ))
                         )
                         wj = jnp.zeros(nb_pad, jnp.float32).at[:nb].set(
-                            jax.lax.dynamic_slice(w_in, (off + s,), (nb,))
+                            jax.lax.dynamic_slice(w_in, (row0 + s,), (nb,))
                         )
                         rj = jnp.ones(nb_pad, jnp.float32).at[:nb].set(
-                            jax.lax.dynamic_slice(r_in, (off + s,), (nb,))
-                            * pixels_per_unit
+                            _scaled(jax.lax.dynamic_slice(
+                                r_in, (row0 + s,), (nb,)))
                         )
+                        if wtab is not None:
+                            # pad keys with the invalid sentinel: the tail
+                            # stays sorted and deposits nothing
+                            kj = jnp.full(
+                                nb_pad, ntiles, jnp.int32
+                            ).at[:nb].set(
+                                jax.lax.dynamic_slice(
+                                    key_in, (row0 + s,), (nb,)
+                                ) - kb
+                            )
                     # valid pairs <= nb_pad always (1-slot assignment: each
                     # particle emits at most one pair), so the stream is
                     # sized from the batch size — no counting pass, no host
@@ -1119,7 +1313,7 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
                 bufs = _dispatch_batch(
                     geom, ppj, wj, rj, grid3, np_pad, bufs,
                     accumulate=not first, subsample=subsample,
-                    interpret=interpret, xwin=xwin,
+                    interpret=interpret, xwin=xwin, key_in=kj,
                 )
                 first = False
                 if device_in and bi % 2 == 1:
@@ -1152,7 +1346,12 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
                 # free the previous bucket's tile buffers before allocating
                 # this one's (two grid-sized tile sets do not coexist)
                 float(jnp.sum(vol[:1, :1]))
-            vol = run_bucket(geom, pos_c, w_c, r_c, vol, offs[bi], counts[bi])
+            vol = run_bucket(
+                geom, pos_c, w_c, r_c, vol, offs[bi], counts[bi],
+                key_in=key_c,
+                wtab=wtabs[bi] if wtabs is not None else None,
+                kbase=kbases[bi] if kbases is not None else 0,
+            )
         else:
             m = cls_h == bi
             if not m.any():
@@ -1168,16 +1367,20 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
         if device_in:
             # the huge class is the partitioned arrays' tail slice; dense
             # RMW accumulates straight onto vol (donated). cnt_pad grows
-            # geometrically so compile count stays bounded across workloads
+            # geometrically so compile count stays bounded across workloads.
+            # Fused arrays are already pixel-scaled (ppu=1) and their tail
+            # includes the (weight-zeroed) trash rows, so the pad must
+            # cover [dense_start, n), not just n_huge
             hw = dense_halfwidth(max_rpx)
             chunk = _default_chunk(2 * hw + 1)
+            tail = (n - offs[-1]) if key_c is not None else n_huge
             cnt_pad = chunk
-            while cnt_pad < n_huge:
+            while cnt_pad < tail:
                 cnt_pad *= 2
             vol = _dense_tail(
                 pos_c, w_c, r_c, vol, offs[-1],
-                jnp.float32(pixels_per_unit), cnt_pad, (gx, gy, gz), hw,
-                subsample,
+                jnp.float32(1.0 if key_c is not None else pixels_per_unit),
+                cnt_pad, (gx, gy, gz), hw, subsample,
             )
         else:
             vol = splat_volume_dense(

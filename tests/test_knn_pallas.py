@@ -1,4 +1,9 @@
-"""Pallas k-NN candidate kernel vs the exact XLA path (interpret mode)."""
+"""Pallas k-NN candidate kernel vs the exact XLA path (interpret mode).
+
+Shapes are deliberately small: interpret-mode kernel evaluation costs
+~seconds per block batch on one CPU core, and CI runs the whole suite —
+the budget is a sub-5-minute `pytest -q` (the real-hardware validation
+lives in the verify skill probes, .claude/skills/verify/SKILL.md)."""
 import numpy as np
 import pytest
 
@@ -14,8 +19,8 @@ def _pts(n, seed, box=1.0):
 @pytest.mark.slow
 @pytest.mark.parametrize("periodic", [False, True])
 def test_kernel_path_matches_exact(periodic):
-    pts = _pts(4000, 21)
-    q = _pts(600, 22)
+    pts = _pts(1200, 21)
+    q = _pts(160, 22)
     tree = KDTree(pts, boxsize=1.0 if periodic else None)
     ref = knn.cell_knn_query(tree._tree, tree._dev, q, 6, use_kernel="never")
     got = knn.cell_knn_query(tree._tree, tree._dev, q, 6, use_kernel="force")
@@ -30,8 +35,8 @@ def test_query_blocks_chunked_matches_unchunked():
     as one big chunk — pins the overlapped-prep refactor."""
     from nbodyhpc_tpu.ops import knn_pallas
 
-    pts = _pts(3000, 31)
-    q = _pts(500, 32)
+    pts = _pts(1000, 31)
+    q = _pts(288, 32)
     tree = KDTree(pts, boxsize=1.0)
     one = knn_pallas.query_blocks(
         tree._tree, tree._dev, q, 5, interpret=True, qchunk=1 << 20
@@ -51,11 +56,11 @@ def test_query_blocks_chunked_matches_unchunked():
 @pytest.mark.slow
 def test_kernel_path_clustered_escalates():
     rng = np.random.Generator(np.random.Philox(5))
-    cluster = (rng.normal(scale=0.002, size=(3000, 3)) + 0.5).astype(np.float32)
+    cluster = (rng.normal(scale=0.002, size=(1200, 3)) + 0.5).astype(np.float32)
     pts = np.clip(np.concatenate([cluster, _pts(100, 6)]), 0, 0.999).astype(
         np.float32
     )
-    q = _pts(300, 7)
+    q = _pts(128, 7)
     tree = KDTree(pts)
     ref = knn.cell_knn_query(tree._tree, tree._dev, q, 4, use_kernel="never")
     got = knn.cell_knn_query(tree._tree, tree._dev, q, 4, use_kernel="force")

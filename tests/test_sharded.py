@@ -52,6 +52,7 @@ def test_sharded_render_periodic(mesh):
     np.testing.assert_allclose(vol.sum(), w.sum(), rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_sharded_render_boundary_straddlers(mesh):
     """Particles placed exactly on slab boundaries are counted exactly once."""
     nd = 8
@@ -68,6 +69,7 @@ def test_sharded_render_boundary_straddlers(mesh):
     np.testing.assert_allclose(vol, ref, rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_render_mid_radius_bucket(mesh):
     """Radii reaching into the 16^3 kernel bucket ((3, 7] px) run the
     two-bucket Pallas engine per shard and must match the single-device
@@ -86,6 +88,7 @@ def test_sharded_render_mid_radius_bucket(mesh):
     np.testing.assert_allclose(vol, ref, rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_render_dense_tail(mesh):
     """Radii beyond the engine's 7 px ceiling route to the per-shard dense
     large-radius pass (ops/splat_dense.py), composed with the engine
@@ -104,6 +107,7 @@ def test_sharded_render_dense_tail(mesh):
     np.testing.assert_allclose(vol, ref, rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_render_31px_mixed(mesh):
     """Mixed workload whose largest footprint (31 px radius) spans many
     slabs: multi-hop halo exchange + dense pass must stay exact."""

@@ -102,6 +102,7 @@ def test_dense_halfwidth_ladder():
     assert dense_halfwidth(big) == required_halfwidth(big)
 
 
+@pytest.mark.slow
 def test_splat_volume_numpy_routes_huge_to_dense():
     """Mixed workload through the public splat_volume host path: the huge
     tail must land on the dense pass (not the scatter oracle) and still

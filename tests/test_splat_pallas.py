@@ -183,6 +183,7 @@ def test_pallas_multitile_oracle_parity():
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_slab_window_runs_match_oracle(monkeypatch):
     """Memory-bounded x-slab window runs (NBODYHPC_TPU_SPLAT_SLABS=1 forces
     one x-tile slab per run): particles clustered on the x = 128 window
@@ -220,3 +221,116 @@ def test_slab_window_runs_match_oracle(monkeypatch):
         )
     )
     np.testing.assert_allclose(got_dev, want, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_fused_partition_device_multibatch():
+    """Fused (class, tile) partition sort on the device path: tiny batches
+    force multiple pre-sorted batches per bucket (including partial final
+    batches with key padding), mixed radii span every bucket plus the dense
+    tail and a few ineligible rows (zero weight, off-grid footprint) that
+    must land in the trash section and deposit nothing. Parity vs the
+    oracle AND vs the numpy (per-batch-sort) path."""
+    import jax.numpy as jnp
+
+    rng = np.random.Generator(np.random.Philox(99))
+    n = 400
+    grid = (40, 36, 32)
+    ppu = 40.0
+    box = np.array([g / ppu for g in grid], np.float32)
+    pos = (rng.random((n, 3)).astype(np.float32) * box).astype(np.float32)
+    w = rng.random(n).astype(np.float32) + 0.25
+    r = np.empty(n, np.float32)
+    r[: n // 4] = rng.random(n // 4) * 0.4 + 0.05          # sub-pixel
+    r[n // 4 : n // 2] = rng.random(n // 4) * 2.5 + 0.5    # base buckets
+    r[n // 2 : 3 * n // 4] = rng.random(n // 4) * 4.0 + 3.0  # mid ladder
+    r[3 * n // 4 : -8] = rng.random(n // 4 - 8) * 6.0 + 7.5  # G32 + dense
+    r[-8:] = rng.random(8) * 2.0 + 16.0                    # dense tail
+    r = (r / ppu).astype(np.float32)
+    # ineligible rows: zero weight, and a footprint entirely off-grid
+    w[5] = 0.0
+    pos[6] = (-30.0 / ppu, 0.5, 0.5)
+    want = splat_volume_oracle(pos, w, r, ppu, grid)
+    got_np = np.asarray(
+        splat_pallas.splat_volume(pos, w, r, ppu, grid, interpret=True)
+    )
+    np.testing.assert_allclose(got_np, want, rtol=1e-6, atol=1e-7)
+    got_dev = np.asarray(
+        splat_pallas.splat_volume(
+            jnp.asarray(pos), jnp.asarray(w), jnp.asarray(r), ppu, grid,
+            batch=128, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got_dev, want, rtol=1e-6, atol=1e-7)
+
+
+def test_fused_partition_invariants():
+    """Fast (pure-XLA) pin of the fused (class, tile) partition sort: keys
+    ascending, every boundary offset equal to an independent recomputation,
+    per-batch window slices internally sorted with `_pair_keys`-consistent
+    local keys, trash rows weight-zeroed, and eligible counts matching the
+    radius classes minus the ineligible rows."""
+    import jax.numpy as jnp
+
+    rng = np.random.Generator(np.random.Philox(123))
+    n = 3000
+    grid = (256, 48, 40)  # ntx = 2 for every bucket
+    ppu = 64.0
+    box = np.array([g / ppu for g in grid], np.float32)
+    pos = (rng.random((n, 3)).astype(np.float32) * box).astype(np.float32)
+    w = rng.random(n).astype(np.float32) + 0.25
+    w[::97] = 0.0  # ineligible: zero weight
+    rpx = (rng.random(n).astype(np.float32) ** 2) * 20.0 + 0.05
+    r = (rpx / ppu).astype(np.float32)
+    pos[1] = (-2.0, 0.1, 0.1)  # ineligible: footprint fully off-grid
+
+    part = splat_pallas.prepartition(
+        jnp.asarray(pos), jnp.asarray(w), jnp.asarray(r), ppu, grid
+    )
+    key = np.asarray(part.key)
+    assert np.all(np.diff(key) >= 0)  # globally sorted
+
+    # recompute every particle's fused key from the sorted channels and
+    # check it matches the carried key (same math as _fused_partition)
+    bases, dense_key, trash_key = splat_pallas._fused_bases(grid)
+    ppx_s = jnp.asarray(part.pos_px)
+    rr_s = jnp.asarray(part.rpx)
+    # trash weights were zeroed, which feeds eligibility; recompute with a
+    # nonzero stand-in weight only to verify *tile* placement of real rows
+    want = np.full(n, -1, np.int64)
+    for g, base in zip(splat_pallas.BUCKETS, bases):
+        kg, _ = splat_pallas._pair_keys(
+            ppx_s, rr_s, jnp.asarray(part.w), grid, g
+        )
+        kg = np.asarray(kg)
+        nt = splat_pallas._ntiles(grid, g)
+        want = np.where(kg < nt, base + kg, want)
+    cls = np.asarray(splat_pallas._radius_class(rr_s))
+    want = np.where(
+        want < 0, np.where(cls == len(splat_pallas.BUCKETS),
+                           dense_key, trash_key), want
+    )
+    # rows the partition classed as trash have w zeroed; if zeroing made a
+    # previously-eligible row ineligible on recompute they must BE trash
+    mism = want != key
+    assert not np.any(mism & (key != trash_key)), np.nonzero(mism)[0][:10]
+    assert np.all(np.asarray(part.w)[key >= trash_key] == 0.0)
+
+    # boundary table: offsets equal searchsorted of the recomputed keys
+    for bi, (g, tab) in enumerate(
+        zip(splat_pallas.BUCKETS, part.wtabs)
+    ):
+        gxp, gyp, gzp = splat_pallas._grid_pad(grid, g)
+        m = (gyp // g.YTILE) * (gzp // splat_pallas.TZ)
+        ntx = gxp // splat_pallas.TX
+        assert len(tab) == ntx + 1
+        for xt in range(ntx + 1):
+            bv = bases[bi] + xt * m if xt < ntx else (
+                bases[bi + 1] if bi + 1 < len(bases) else dense_key
+            )
+            assert tab[xt] == np.searchsorted(key, bv), (bi, xt)
+    assert part.dense_off == np.searchsorted(key, dense_key)
+    assert part.n_huge == int(
+        np.searchsorted(key, trash_key) - part.dense_off
+    )
+    assert abs(part.max_rpx - float(rpx.max())) < 1e-3
