@@ -183,7 +183,7 @@ def main():
     }
 
     if os.environ.get("BENCH_KNN", "1") != "0":
-        del gpj, gwj, grj  # free HBM before the kNN workload
+        del part  # free HBM before the kNN workload
         _stamp("kNN workload")
         result.update(_bench_knn(jax, jnp, np))
     _stamp("done")

@@ -150,18 +150,20 @@ def test_splat_volume_device_class_sorted_skips_partition():
     r = np.sort(
         np.concatenate(
             [
-                (rng.random(16) * 2.9 / ppu),       # G6/G8 classes
-                ((3.2 + rng.random(16) * 3.5) / ppu),  # G10/G12/G16
-                ((8.0 + rng.random(16) * 6.0) / ppu),  # G32 class
+                (0.5 + rng.random(16) * 1.4) / ppu,    # G6 class
+                ((2.2 + rng.random(16) * 0.7) / ppu),  # G8 class
+                ((15.5 + rng.random(16) * 4.0) / ppu),  # dense tail (> 15 px)
             ]
         ).astype(np.float32)
     )
-    # ascending radii are class-sorted along the whole ladder; assert the
-    # detector agrees and every particle lands in a kernel bucket
+    # ascending radii are class-sorted; assert the detector agrees, two
+    # kernel classes are populated, and the rest of the ladder is empty
+    # (the full-ladder mixed workload is the slow-marked test below — in
+    # interpret mode the G16/G32 deposit programs alone cost minutes)
     stats = splat_pallas._radius_stats(jnp.asarray(r), ppu)
     assert bool(stats[2])
     counts = np.asarray(stats[1])
-    assert counts.sum() == 48 and counts[-1] == 16
+    assert counts[0] == 16 and counts[1] == 16 and counts.sum() == 32
     want = splat_volume_oracle(pos, w, r, ppu, grid)
     got = np.asarray(
         splat_pallas.splat_volume(
