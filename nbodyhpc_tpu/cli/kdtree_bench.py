@@ -59,7 +59,8 @@ def main(argv=None):
     # not index: with duplicate points the zero-distance neighbor may
     # legitimately be the duplicate's index
     self_ok = bool(np.all(dist[:, 0] == 0.0))
-    # work statistics sampled on a subset (stats disable the fast path)
+    # work statistics on a sample (stats now ride the kernel fast path too;
+    # the sample just keeps the extra pass cheap)
     _, _, stats = tree.query_with_statistics(
         pts[: min(4096, nq)], k=args.num_neighbors
     )

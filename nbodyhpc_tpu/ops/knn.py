@@ -390,11 +390,6 @@ def cell_knn_query(
     if k <= 0:
         raise ValueError("k must be positive")  # reference: pybind.cpp:92-94
 
-    if use_kernel == "force" and with_stats:
-        raise ValueError(
-            "with_stats is not available on the kernel path "
-            "(use use_kernel='never' or 'auto')"
-        )
     # the kernel's block builder wraps 3x3 neighbor columns; with fewer than
     # 3 cells in a periodic x/y dimension wrapped columns alias and the A/B
     # dedup would double-count candidates — such (tiny) trees stay on the
@@ -406,7 +401,6 @@ def cell_knn_query(
         use_kernel == "force"
         or (
             use_kernel == "auto"
-            and not with_stats
             and Q >= 8192
             and jax.default_backend() == "tpu"
         )
@@ -414,7 +408,7 @@ def cell_knn_query(
     if kernel_ok:
         from . import knn_pallas
 
-        d2, slot, conv = knn_pallas.query_blocks(
+        d2, slot, conv, (cs, pv) = knn_pallas.query_blocks(
             tree, tree_dev, queries, k, interpret=use_kernel == "force"
             and jax.default_backend() != "tpu",
         )
@@ -426,11 +420,18 @@ def cell_knn_query(
         if bad.any():
             sub = cell_knn_query(
                 tree, tree_dev, queries[bad], k, ladder=ladder, chunk=chunk,
-                with_fallback=with_fallback, use_kernel="never",
+                with_fallback=with_fallback, with_stats=with_stats,
+                use_kernel="never",
             )
             dist[bad] = sub.distances
             gidx[bad] = sub.indices
-        return KnnResult(dist, gidx, None)
+            if with_stats:
+                # ladder counters certify those answers; the kernel's
+                # neighborhood scan wasn't what converged them
+                cs[bad] = sub.stats.cells_scanned
+                pv[bad] = sub.stats.points_visited
+        stats = QueryStatistics(cs, pv) if with_stats else None
+        return KnnResult(dist, gidx, stats)
     if ladder is None:
         ladder = default_ladder(k, tree)
     meta_static = tree.meta_static

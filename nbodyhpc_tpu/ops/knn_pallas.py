@@ -208,6 +208,7 @@ def build_blocks(tree, queries_w, qcell):
 
     starts = np.zeros((nblocks, NRUNS), np.int64)
     lens = np.zeros((nblocks, NRUNS), np.int64)
+    cells = np.zeros((nblocks, NRUNS), np.int64)
     dup_col = colA == colB  # single-column blocks: skip the B slots
 
     # A/B column deltas (wrapped for periodic) to dedupe shared neighbor
@@ -270,6 +271,7 @@ def build_blocks(tree, queries_w, qcell):
                 ln = np.where(use, e - s, 0)
                 starts[:, ri] = np.where(use, s, 0)
                 lens[:, ri] = ln
+                cells[:, ri] = np.where(use, zl, 0)
 
     # repack logical runs into RCAP-sized physical slots (long z-runs split
     # across consecutive slots); more pieces than slots -> flag for the ladder
@@ -350,7 +352,15 @@ def build_blocks(tree, queries_w, qcell):
     qblk2.reshape(-1, 4)[flat2, :3] = qs
     qblk2.reshape(-1, 4)[flat2, 3] = gslot[piece_of_q].astype(np.float32)
 
-    return order, qmap2, qblk2, runs2, piece_of_q, blk_of_piece, gslot, flagged
+    # per-piece work counters (the reference's KDTreeQueryStatistics analog,
+    # kdtree.hpp:124-131): every query in a piece scans the same fetched
+    # candidate set, so cells-scanned / points-visited are piece properties
+    # — free to report from the tables already built here
+    cs_piece = cells.sum(axis=1).astype(np.int32)
+    pv_piece = lens.sum(axis=1).astype(np.int32)
+
+    return (order, qmap2, qblk2, runs2, piece_of_q, blk_of_piece, gslot,
+            flagged, cs_piece, pv_piece)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -378,9 +388,14 @@ def query_blocks(tree, tree_dev, queries, k: int, batch_blocks: int = 1024,
     """Fast path for large batched queries on TPU.
 
     Answers every query from its DMA-fetched 27-cell neighborhood and returns
-    (distances^2 [Q, k], tree slots [Q, k], converged [Q]) in the caller's
-    query order. Queries in flagged blocks or failing the r=1 box-distance
-    bound come back unconverged and must be finished by the exact ladder.
+    (distances^2 [Q, k], tree slots [Q, k], converged [Q], (cells_scanned
+    [Q], points_visited [Q])) in the caller's query order. The stats tuple
+    is the reference KDTreeQueryStatistics analog, read off the run tables
+    at zero kernel cost: every query in a piece scans the same fetched
+    candidate set, so its counters are the piece's cell/point totals.
+    Queries in flagged blocks or failing the r=1 box-distance bound come
+    back unconverged and must be finished by the exact ladder (whose own
+    stats should replace these for those queries).
 
     Queries are processed in ``qchunk``-sized chunks so the host-side block
     build of chunk i+1 overlaps the (async) kernel + top-k of chunk i — the
@@ -416,12 +431,14 @@ def query_blocks(tree, tree_dev, queries, k: int, batch_blocks: int = 1024,
     d2_out = np.empty((Q, k), np.float32)
     slot_out = np.empty((Q, k), np.int64)
     conv_out = np.empty(Q, bool)
+    cs_out = np.empty(Q, np.int32)
+    pv_out = np.empty(Q, np.int32)
 
     def prep(c0, c1):
         """Host block build for queries [c0, c1) -> chunk state."""
         qw_c = qw[c0:c1]
         (order, qmap, qblk, runs, piece_of_q, blk_of_piece, gslot,
-         flagged) = build_blocks(tree, qw_c, qcell[c0:c1])
+         flagged, cs_piece, pv_piece) = build_blocks(tree, qw_c, qcell[c0:c1])
         nblocks = qblk.shape[0]
         # pad to a power-of-two bucket (capped at batch_blocks): a handful
         # of kernel/top-k shapes ever compile, and empty pad blocks (all
@@ -443,6 +460,7 @@ def query_blocks(tree, tree_dev, queries, k: int, batch_blocks: int = 1024,
             "c0": c0, "nq": nq, "order": order, "qmap": qmap, "qblk": qblk,
             "runs": runs, "piece_of_q": piece_of_q,
             "blk_of_piece": blk_of_piece, "gslot": gslot, "flagged": flagged,
+            "cs_piece": cs_piece, "pv_piece": pv_piece,
             "nblocks": nblocks, "nb_pad": nb_pad, "msize": msize,
             "d2_s": np.empty((nq, k), np.float32),
             "sel_s": np.empty((nq, k), np.int32),
@@ -526,6 +544,8 @@ def query_blocks(tree, tree_dev, queries, k: int, batch_blocks: int = 1024,
         d2_out[dst] = d2_s
         slot_out[dst] = slot
         conv_out[dst] = conv
+        cs_out[dst] = st["cs_piece"][piece_of_q]
+        pv_out[dst] = st["pv_piece"][piece_of_q]
         # free the chunk's tables promptly (runs/qblk are the big ones)
         st.clear()
 
@@ -548,4 +568,4 @@ def query_blocks(tree, tree_dev, queries, k: int, batch_blocks: int = 1024,
             pending = (st, b0, b1, dk, sk)
     if pending is not None:
         drain(*pending)
-    return d2_out, slot_out, conv_out
+    return d2_out, slot_out, conv_out, (cs_out, pv_out)

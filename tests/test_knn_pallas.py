@@ -66,3 +66,69 @@ def test_kernel_path_clustered_escalates():
     got = knn.cell_knn_query(tree._tree, tree._dev, q, 4, use_kernel="force")
     np.testing.assert_allclose(got.distances, ref.distances, rtol=1e-6)
     np.testing.assert_array_equal(got.indices, ref.indices)
+
+
+def test_build_blocks_stats_cover_own_neighborhood():
+    """Kernel-path QueryStatistics come from the host run tables
+    (build_blocks, no kernel needed): every unflagged query's
+    points_visited must cover at least its OWN 27-cell neighborhood
+    (the piece scans the z-union over all its queries, a superset), and
+    cells_scanned at least those of its 27 cells that exist."""
+    from nbodyhpc_tpu.ops import knn_pallas
+
+    pts = _pts(3000, 51)
+    tree = KDTree(pts, boxsize=1.0)
+    t = tree._tree
+    dims = np.asarray(t.dims)
+    assert (dims >= 3).all()  # aliasing-free wrap for this workload
+    q = _pts(400, 52)
+
+    h = np.asarray(t.cell_size, np.float64)
+    lo = np.asarray(t.lo, np.float64)
+    qcell = np.floor((q - lo[None, :].astype(np.float32))
+                     / h[None, :].astype(np.float32)).astype(np.int64)
+    qcell = np.mod(qcell, dims[None, :])
+
+    (order, _qmap, _qblk, _runs, piece_of_q, _bop, _gs, flagged,
+     cs_piece, pv_piece) = knn_pallas.build_blocks(t, q, qcell)
+
+    offsets = np.asarray(t.offsets)
+    Cy, Cz = int(dims[1]), int(dims[2])
+    for p in range(q.shape[0]):
+        piece = piece_of_q[p]
+        if flagged[piece]:
+            continue
+        cx, cy, cz = qcell[order[p]]
+        npts = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    cid = (((cx + dx) % dims[0]) * Cy
+                           + (cy + dy) % Cy) * Cz + (cz + dz) % Cz
+                    npts += int(offsets[cid + 1] - offsets[cid])
+        assert pv_piece[piece] >= npts
+        assert cs_piece[piece] >= 27
+        assert pv_piece[piece] <= t.n
+
+
+@pytest.mark.slow
+def test_with_stats_rides_kernel_path():
+    """with_stats no longer disables the kernel path: forced kernel
+    queries return the same answers as the ladder, converged queries
+    carry table-derived counters, and unconverged ones carry the
+    ladder's own counters (which certified their answers)."""
+    pts = _pts(1200, 61)
+    q = _pts(160, 62)
+    tree = KDTree(pts, boxsize=1.0)
+    ref = knn.cell_knn_query(
+        tree._tree, tree._dev, q, 6, use_kernel="never", with_stats=True
+    )
+    got = knn.cell_knn_query(
+        tree._tree, tree._dev, q, 6, use_kernel="force", with_stats=True
+    )
+    np.testing.assert_allclose(got.distances, ref.distances, rtol=1e-6)
+    np.testing.assert_array_equal(got.indices, ref.indices)
+    assert got.stats is not None
+    assert got.stats.points_visited.shape == (160,)
+    assert (got.stats.points_visited >= 6).all()
+    assert (got.stats.cells_scanned > 0).all()
