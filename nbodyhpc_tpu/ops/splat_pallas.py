@@ -362,6 +362,13 @@ def _deposit_kernel(tilei_ref, attrs_ref, _outin, _hxin, _hzin, _hcin,
     static_argnames=(
         "nchunks", "ntiles", "subsample", "accumulate", "interpret", "geom",
     ),
+    # the tile buffers MUST be jit-donated for the pallas
+    # input_output_aliases below to alias in place: without donation XLA
+    # inserts defensive copies, so every deposit dispatch carries a second
+    # full tile set (~5.8 GB for a full-grid G8 pass at 1024^3 — measured
+    # as round 1's 12.9 GB peak, and an OOM once a previous bucket's
+    # volume is resident). Callers never reuse the passed-in buffers.
+    donate_argnums=(2, 3, 4, 5),
 )
 def _run_deposit(tilei, attrs, out_init, hx_init, hz_init, hc_init, nchunks,
                  ntiles, subsample, accumulate, interpret, geom=G8):
@@ -471,7 +478,11 @@ def _align_kernel(starts_ref, cnts_ref, aoff_ref, srcf_ref, srci_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("np_pad", "ntiles", "interpret", "geom")
+    jax.jit, static_argnames=("np_pad", "ntiles", "interpret", "geom"),
+    # same donation requirement as _run_deposit: the destination streams
+    # alias in place only when jit-donated (they are freshly allocated in
+    # _dispatch_batch and never reused)
+    donate_argnums=(5, 6),
 )
 def _run_align(starts, cnts, aoff, srcf, srci, dstf_init, dsti_init,
                np_pad, ntiles, interpret, geom=G8):
