@@ -117,8 +117,10 @@ def main():
     # slab windows at 1e8 -> 1024^3
     _stamp("device fused (class, tile) partition sort")
     gshape = (grid, grid, grid)
-    part = splat_pallas.prepartition(gpj, gwj, grj, ppu, gshape)
-    del gpj, gwj, grj  # free the raw copies before the render
+    # donate=True: the augmented copies' ~2 GB is handed into the sort
+    # instead of sitting dead alongside its working set (OOM at 1e8)
+    part = splat_pallas.prepartition(gpj, gwj, grj, ppu, gshape, donate=True)
+    del gpj, gwj, grj  # invalidated by the donation
     float(jnp.sum(part.w[:1]))  # drain the sort transients
 
     def render(p):

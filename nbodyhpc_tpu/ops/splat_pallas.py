@@ -922,15 +922,37 @@ class FusedPartition(NamedTuple):
     max_rpx: float        # max pixel radius over the whole set
 
 
-def prepartition(positions, weights, radii, pixels_per_unit, grid):
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scale_donated(a, s):
+    """Materialized ``a * s`` whose output aliases the input buffer —
+    frees the caller's array the moment the scaled copy exists (s=1.0 is
+    a pure ownership transfer). Still a separate jit so the product is a
+    MATERIALIZED array, never FMA-fused into downstream key math."""
+    return a * s
+
+
+def prepartition(positions, weights, radii, pixels_per_unit, grid,
+                 donate: bool = False):
     """Fused-partition device-resident particles for :func:`splat_volume`
     (see :class:`FusedPartition`). Scaling to pixel units happens eagerly
     HERE, before the sort jit — the downstream window-base math is then a
-    single subtract on materialized values (see ``_fused_partition``)."""
+    single subtract on materialized values (see ``_fused_partition``).
+
+    ``donate=True`` hands the three input arrays' buffers over to the
+    partition (they are INVALIDATED): at 1e8 particles the inputs are
+    ~2 GB of HBM that would otherwise sit dead alongside the sort's
+    working set.
+    """
     grid3 = tuple(int(v) for v in grid)
     n = positions.shape[0]
-    ppx = positions * jnp.float32(pixels_per_unit)
-    rpx = radii * jnp.float32(pixels_per_unit)
+    s = jnp.float32(pixels_per_unit)
+    if donate:
+        ppx = _scale_donated(positions, s)
+        rpx = _scale_donated(radii, s)
+        weights = _scale_donated(weights, jnp.float32(1.0))
+    else:
+        ppx = positions * s
+        rpx = radii * s
     pos_c, w_c, r_c, key_c, offs_dev, rmax = _fused_partition(
         ppx, weights, rpx, grid3
     )
@@ -977,19 +999,27 @@ def _fused_partition(ppx, w, rpx, grid):
     zeroing keeps them inert even through the dense slice's tail).
     """
     bases, dense_key, trash_key = _fused_bases(grid)
-    key = jnp.full(ppx.shape[0], -1, jnp.int32)
+    key0 = jnp.full(ppx.shape[0], -1, jnp.int32)
     for g, base in zip(BUCKETS, bases):
         kg, _ = _pair_keys(ppx, rpx, w, grid, g)
-        key = jnp.where(kg < _ntiles(grid, g), base + kg, key)
+        key0 = jnp.where(kg < _ntiles(grid, g), base + kg, key0)
     cls = _radius_class(rpx)
-    key = jnp.where(
-        key < 0,
+    key0 = jnp.where(
+        key0 < 0,
         jnp.where(cls == len(BUCKETS), dense_key, trash_key),
-        key,
+        key0,
     )
-    key, px, py, pz, ww, rr = jax.lax.sort(
-        (key, ppx[:, 0], ppx[:, 1], ppx[:, 2], w, rpx), num_keys=1
+    # TWO stable sorts sharing the (duplicate-keyed) key channel produce
+    # the IDENTICAL row permutation, so the payload set can be split to
+    # halve the sort working set: a single 6-operand sort at 1e8 rows
+    # (2.5 GB in + 2.5 GB out + scratch) is what OOMed the 1e8 -> 1024^3
+    # bench on a 16 GB chip. The barrier sequences the second sort after
+    # the first so their scratch never coexists.
+    key, px, py, pz = jax.lax.sort(
+        (key0, ppx[:, 0], ppx[:, 1], ppx[:, 2]), num_keys=1, is_stable=True
     )
+    key0, w, rpx2, _ = jax.lax.optimization_barrier((key0, w, rpx, px))
+    _, ww, rr = jax.lax.sort((key0, w, rpx2), num_keys=1, is_stable=True)
     ww = jnp.where(key >= trash_key, 0.0, ww)
     bvals = jnp.asarray(_fused_boundaries(grid), jnp.int32)
     offs = jnp.searchsorted(key, bvals).astype(jnp.int32)
