@@ -1227,15 +1227,28 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
         if force:
             nper = max(1, min(int(force), ntx))
         else:
-            # default sized to one v5e chip: at 1e8 -> 1024^3 the G8 bucket
-            # stays single-run (round-1-proven 12.9 GB peak) while the G16
-            # bucket (whose full-grid buffers are 7.5 GB) splits into two
-            # x-window runs
+            # sized to one v5e chip. The in-flight batch streams must be
+            # budgeted EXPLICITLY: each dispatched batch keeps its aligned
+            # src+dst channel sets ((NF f32 + NI i32) each side) live until
+            # the bi % 2 sync, i.e. up to two batches at once. A fixed
+            # 1.5 GiB slack under-counted them at 1e8 -> 1024^3 once the
+            # fused partition's key channel and the bucket ladder put the
+            # 4 GiB volume + 2.3 GiB partition alongside a single-run
+            # 5.4 GiB tile set: the live set hit HBM capacity mid-batch
+            # (round-2 OOM). With streams counted, G6/G8 split into two
+            # x-window runs at that scale instead of OOMing. Default
+            # budget 13.0: usable HBM on the chip is ~13 GiB (round-1's
+            # proven 12.9 GB peak; a ~13.2 GiB live set OOMed) — the
+            # window plan guarantees live <= budget by construction.
             budget = float(
-                os.environ.get("NBODYHPC_TPU_HBM_GB", "14.0")
+                os.environ.get("NBODYHPC_TPU_HBM_GB", "13.0")
             ) * 2**30
             vol_bytes = 4 * gxp * gy * gz
-            avail = budget - vol_bytes - resident - 1.5 * 2**30
+            np_pad_est = batch + CHUNK * m * ntx + ACHUNK + CHUNK
+            stream_bytes = 2 * (NF + NI) * 4 * np_pad_est
+            avail = (
+                budget - vol_bytes - resident - 2 * stream_bytes - 2**30
+            )
             nper = int(max(1, min(ntx, avail // slab_bytes)))
         nruns = -(-ntx // nper)
         nper = -(-ntx // nruns)  # balance window sizes
