@@ -538,16 +538,20 @@ def _ntiles(grid, geom=G8):
     return (gxp // TX) * (gyp // geom.YTILE) * (gzp // TZ)
 
 
-def _pair_keys(ppx, rpx, w, grid, geom=G8, xwin=None):
+def _pair_keys(ppx, rpx, w, grid, geom=G8, nxt=None, xt0=0):
     """[N] tile keys (ntiles = invalid), plus the window base
     b = ceil(ppx - (F/2 + 0.5)).
 
-    ``xwin = (xt0, nxt)`` restricts assignment to the x-tile slab window
+    ``nxt``/``xt0`` restrict assignment to the x-tile slab window
     [xt0, xt0 + nxt): keys are re-based to the window's tile numbering and
-    particles outside it are invalid. Buffer-memory scaling: a bucket pass
-    over a window allocates only the window's tiles (see ``run_bucket``'s
-    slab-run loop); cross-window +x spill rides the carry strips chained
-    between runs by ``_unpack_tiles``.
+    particles outside it are invalid. ``nxt`` is STATIC (it shapes the tile
+    buffers); ``xt0`` is traced — every window of the same width shares one
+    compiled program (window starts were originally static too, which
+    multiplied the multi-minute remote Mosaic/XLA compile count by the
+    window count). Buffer-memory scaling: a bucket pass over a window
+    allocates only the window's tiles (see ``run_bucket``'s slab-run
+    loop); cross-window +x spill rides the carry strips chained between
+    runs by ``_unpack_tiles``.
 
     Each particle belongs to exactly ONE tile — the one containing its
     (clamped) window base. x/z crossings spill into the accumulator's right
@@ -561,7 +565,9 @@ def _pair_keys(ppx, rpx, w, grid, geom=G8, xwin=None):
     F, HALO, YT = geom.F, geom.HALO, geom.YTILE
     gxp, gyp, gzp = _grid_pad(grid, geom)
     ntx, nty, ntz = gxp // TX, gyp // YT, gzp // TZ
-    xt0, nxt = (0, ntx) if xwin is None else xwin
+    windowed = nxt is not None
+    if not windowed:
+        nxt = ntx
     ntiles = nxt * nty * ntz
 
     b = jnp.ceil(ppx - (F / 2 + 0.5)).astype(jnp.int32)  # [N, 3]
@@ -581,28 +587,30 @@ def _pair_keys(ppx, rpx, w, grid, geom=G8, xwin=None):
         & (bx >= -HALO) & (bx < gxp)
         & (bz >= -HALO) & (bz < gzp)
         & (by >= -F) & (by < gyp)
-        & (tx >= xt0) & (tx < xt0 + nxt)
     )
-    tid0 = ((tx - xt0) * nty + ty0) * ntz + tz
+    if windowed:
+        eligible = eligible & (tx >= xt0) & (tx < xt0 + nxt)
+        tx = tx - xt0
+    tid0 = (tx * nty + ty0) * ntz + tz
     key0 = jnp.where(eligible, tid0, ntiles)
     return key0, b
 
 
-@functools.partial(jax.jit, static_argnames=("grid", "geom", "xwin"))
-def _count_pairs(ppx, rpx, w, grid, geom=G8, xwin=None):
-    keys, _ = _pair_keys(ppx, rpx, w, grid, geom, xwin)
+@functools.partial(jax.jit, static_argnames=("grid", "geom", "nxt"))
+def _count_pairs(ppx, rpx, w, grid, geom=G8, nxt=None, xt0=0):
+    keys, _ = _pair_keys(ppx, rpx, w, grid, geom, nxt, xt0)
     nty, ntz = _grid_pad(grid, geom)[1] // geom.YTILE, \
         _grid_pad(grid, geom)[2] // TZ
-    nt = (_grid_pad(grid, geom)[0] // TX if xwin is None else xwin[1]) \
+    nt = (_grid_pad(grid, geom)[0] // TX if nxt is None else nxt) \
         * nty * ntz
     return jnp.sum(keys < nt)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("grid", "np_pad", "geom", "xwin")
+    jax.jit, static_argnames=("grid", "np_pad", "geom", "nxt")
 )
-def _prep_batch(pos_px, w, rpx, grid, np_pad, geom=G8, xwin=None,
-                key_in=None):
+def _prep_batch(pos_px, w, rpx, grid, np_pad, geom=G8, nxt=None,
+                key_in=None, xt0=0):
     """Pair expansion -> multi-operand sort -> elementwise channel derivation
     -> per-tile starts/counts/aligned offsets. No gathers anywhere.
 
@@ -618,7 +626,8 @@ def _prep_batch(pos_px, w, rpx, grid, np_pad, geom=G8, xwin=None,
     F, HALO, YTILE = geom.F, geom.HALO, geom.YTILE
     gxp, gyp, gzp = _grid_pad(grid, geom)
     ntx, nty, ntz = gxp // TX, gyp // YTILE, gzp // TZ
-    xt0, nxt = (0, ntx) if xwin is None else xwin
+    if nxt is None:
+        nxt = ntx
     ntiles = nxt * nty * ntz
     n = pos_px.shape[0]
 
@@ -632,7 +641,7 @@ def _prep_batch(pos_px, w, rpx, grid, np_pad, geom=G8, xwin=None,
         key = key_in
     else:
         # one tile per particle (re-based to the slab window when given)
-        key, _ = _pair_keys(pos_px, rpx, w, grid, geom, xwin)
+        key, _ = _pair_keys(pos_px, rpx, w, grid, geom, nxt, xt0)
         key, px, py, pz, ww, rr = jax.lax.sort(
             (key, px, py, pz, ww, rr), num_keys=1
         )
@@ -697,11 +706,11 @@ def _prep_batch(pos_px, w, rpx, grid, np_pad, geom=G8, xwin=None,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("grid", "geom", "xwin", "carry_out"),
+    jax.jit, static_argnames=("grid", "geom", "nxt", "carry_out"),
     donate_argnames=("out", "hz", "vol0"),
 )
-def _unpack_tiles(out, hx, hz, hc, grid, vol0=None, geom=G8, xwin=None,
-                  seed=None, carry_out=False):
+def _unpack_tiles(out, hx, hz, hc, grid, vol0=None, geom=G8, nxt=None,
+                  seed=None, carry_out=False, xt0=0):
     """Tile-major center (ntiles, TX, TZ, TY) + halo spill strips -> logical
     (gx, gy, gz); tile rows=(x, z), lanes=y.
 
@@ -713,16 +722,20 @@ def _unpack_tiles(out, hx, hz, hc, grid, vol0=None, geom=G8, xwin=None,
     inputs OOMs at 1024^3). When ``vol0`` is given, the unpacked field is
     accumulated onto it (used to sum the radius buckets).
 
-    ``xwin = (xt0, nxt)``: the buffers cover only that x-tile slab window
-    (run_bucket's memory-bounded slab runs). ``seed`` = (hx_carry,
-    hc_carry) strips of the window to the left (its last slab's +x/corner
-    spill, which lands in this window's first slab); ``carry_out=True``
-    additionally returns this window's own carry strips for the next run.
+    ``nxt``/``xt0``: the buffers cover only the x-tile slab window
+    [xt0, xt0 + nxt) (run_bucket's memory-bounded slab runs; nxt static,
+    xt0 traced — one program per window WIDTH, not per window). ``seed`` =
+    (hx_carry, hc_carry) strips of the window to the left (its last slab's
+    +x/corner spill, which lands in this window's first slab);
+    ``carry_out=True`` additionally returns this window's own carry strips
+    for the next run.
     """
     HALO, YTILE = geom.HALO, geom.YTILE
     gxp, gyp, gzp = _grid_pad(grid, geom)
     ntx, nty, ntz = gxp // TX, gyp // YTILE, gzp // TZ
-    xt0, nxt = (0, ntx) if xwin is None else xwin
+    windowed = nxt is not None
+    if not windowed:
+        nxt = ntx
     gy, gz = int(grid[1]), int(grid[2])
     m = nty * ntz  # tiles per x slab (tile id = (tx*nty + ty)*ntz + tz)
 
@@ -760,7 +773,7 @@ def _unpack_tiles(out, hx, hz, hc, grid, vol0=None, geom=G8, xwin=None,
         slab = c[..., :YTILE].transpose(2, 0, 4, 1, 3).reshape(
             TX, gyp, gzp
         )[:, :gy, :gz]
-        if vol0 is not None or xwin is not None:
+        if vol0 is not None or windowed:
             slab = slab + jax.lax.dynamic_slice(
                 vol, ((xt0 + tx) * TX, 0, 0), (TX, gy, gz)
             )
@@ -782,6 +795,24 @@ def _unpack_tiles(out, hx, hz, hc, grid, vol0=None, geom=G8, xwin=None,
     return vol, (hx[(nxt - 1) * m :], hc[(nxt - 1) * m :])
 
 
+def _quant_rows(nb: int, batch: int) -> int:
+    """Smallest rung of the geometric row ladder (batch / 4**j, 128-aligned)
+    that covers ``nb``. Partial batches are padded to a rung instead of to
+    their exact 128-multiple: every distinct padded size compiles its own
+    prep/align/deposit pipeline (multi-minute remote Mosaic compiles), so
+    an honest mixed-radius workload — one partial batch per bucket per slab
+    window — was spending tens of minutes compiling near-duplicate
+    programs. The ladder bounds that to <= 5 shapes per bucket geometry at
+    <= 4x pad waste on the (single) partial batch, whose pad rows carry
+    zero weight / sentinel keys and deposit nothing."""
+    q = -(-batch // 128) * 128
+    while True:
+        nxt = -(-(q // 4) // 128) * 128
+        if nxt < 128 or nxt < nb or nxt >= q:
+            return q
+        q = nxt
+
+
 def _zero_bufs(ntiles, geom):
     return (
         jnp.zeros((ntiles, TX, TZ, TY), jnp.float32),
@@ -801,11 +832,13 @@ def _dispatch_batch(geom, ppj, wj, rj, grid, np_pad, bufs, accumulate,
     fused-partition fast path — no per-batch sort)."""
     if xwin is None:
         ntiles = _ntiles(grid, geom)
+        nxt, xt0 = None, 0
     else:
         gxp, gyp, gzp = _grid_pad(grid, geom)
-        ntiles = xwin[1] * (gyp // geom.YTILE) * (gzp // TZ)
+        xt0, nxt = xwin
+        ntiles = nxt * (gyp // geom.YTILE) * (gzp // TZ)
     srcf, srci, starts, cnts, aoff = _prep_batch(
-        ppj, wj, rj, grid, np_pad, geom, xwin, key_in
+        ppj, wj, rj, grid, np_pad, geom, nxt, key_in, jnp.int32(xt0)
     )
     dstf = jnp.zeros((NF, np_pad), jnp.float32)
     dsti = jnp.concatenate(
@@ -1250,15 +1283,20 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
                 budget - vol_bytes - resident - 2 * stream_bytes - 2**30
             )
             nper = int(max(1, min(ntx, avail // slab_bytes)))
+            # round down to a divisor of ntx: uniform window widths mean
+            # ONE compiled program set per bucket (a ragged last window
+            # would compile its own prep/align/deposit/unpack at its width)
+            while ntx % nper:
+                nper -= 1
         nruns = -(-ntx // nper)
-        nper = -(-ntx // nruns)  # balance window sizes
+        nper = -(-ntx // nruns)  # balance window sizes (forced plans)
 
         n = p_in.shape[0] if cnt is None else cnt
 
         def stage_host(s, e, xwin):
             """Enqueue one batch's H2D upload + pair count (both async)."""
             nb = e - s
-            nb_pad = (nb + 127) // 128 * 128
+            nb_pad = _quant_rows(nb, batch)
             pp = np.zeros((nb_pad, 3), np.float32)
             pp[:nb] = p_in[s:e] * pixels_per_unit
             wb = np.zeros(nb_pad, np.float32)
@@ -1266,7 +1304,11 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
             rb = np.ones(nb_pad, np.float32)
             rb[:nb] = r_in[s:e]
             ppj, wj, rj = jnp.asarray(pp), jnp.asarray(wb), jnp.asarray(rb)
-            return ppj, wj, rj, _count_pairs(ppj, rj, wj, grid3, geom, xwin)
+            return ppj, wj, rj, _count_pairs(
+                ppj, rj, wj, grid3, geom,
+                None if xwin is None else xwin[1],
+                jnp.int32(0 if xwin is None else xwin[0]),
+            )
 
         vol = vol0
         carry = None
@@ -1289,7 +1331,7 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
                 if e <= s:
                     break
                 nb = e - s
-                nb_pad = (nb + 127) // 128 * 128
+                nb_pad = _quant_rows(nb, batch)
                 kj = None
                 if device_in:
                     # fused inputs are already pixel-scaled; never multiply
@@ -1386,8 +1428,8 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
                 vol = _unpack_tiles(*bufs, grid3, vol, _fold_geom(geom))
             else:
                 vol, carry = _unpack_tiles(
-                    *bufs, grid3, vol, _fold_geom(geom), xwin, carry,
-                    carry_out=True,
+                    *bufs, grid3, vol, _fold_geom(geom), xwin[1], carry,
+                    carry_out=True, xt0=jnp.int32(xwin[0]),
                 )
         return vol
 
