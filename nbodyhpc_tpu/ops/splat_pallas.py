@@ -92,6 +92,13 @@ class _Geom(NamedTuple):
     HALO: int
     RMIN: float
     RMAX: float
+    # pairs per deposit grid step. The kernel body unrolls CH // P groups
+    # of [F*F, 128] vector ops, so Mosaic compile time scales with
+    # CH/P * F^2 * FL: at F=32 the default 256 produced a ~30+ minute
+    # remote compile (the round-2 "wedge"); 128 halves it. Must stay a
+    # multiple of 128 — the align kernel's DMA segment starts are rounded
+    # to CH and Mosaic minor-dim DMA offsets must be 128-aligned.
+    CH: int = 256
 
     @property
     def P(self):  # particles per lane-packed group (128 lanes / FL slots)
@@ -119,7 +126,7 @@ G8 = _Geom(F=8, FL=8, YTILE=120, HALO=8, RMIN=2.0, RMAX=3.0)
 G10 = _Geom(F=10, FL=16, YTILE=112, HALO=16, RMIN=3.0, RMAX=4.0)
 G12 = _Geom(F=12, FL=16, YTILE=112, HALO=16, RMIN=4.0, RMAX=5.0)
 G16 = _Geom(F=16, FL=16, YTILE=112, HALO=16, RMIN=5.0, RMAX=7.0)
-G32 = _Geom(F=32, FL=32, YTILE=96, HALO=32, RMIN=7.0, RMAX=15.0)
+G32 = _Geom(F=32, FL=32, YTILE=96, HALO=32, RMIN=7.0, RMAX=15.0, CH=128)
 BUCKETS = (G6, G8, G10, G12, G16, G32)
 
 
@@ -233,7 +240,7 @@ def _deposit_kernel(tilei_ref, attrs_ref, _outin, _hxin, _hzin, _hcin,
     u = [(a + 0.5) / S for a in range(S)]
     inv_s3 = 1.0 / float(S**3)
 
-    for g in range(CHUNK // P):
+    for g in range(geom.CH // P):
         a16 = attrs_ref[:, g * P : (g + 1) * P]  # [NF, P]
         if interpret:
             # the interpreter emulates the MXU's bf16 input truncation, and
@@ -383,9 +390,9 @@ def _run_deposit(tilei, attrs, out_init, hx_init, hz_init, hc_init, nchunks,
         in_specs=[
             # the aligned (NI/NF, np_pad) streams are read column-chunked
             # directly: no host-visible transpose pass is needed
-            pl.BlockSpec((NI, CHUNK), lambda c: (0, c),
+            pl.BlockSpec((NI, geom.CH), lambda c: (0, c),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((NF, CHUNK), lambda c: (0, c),
+            pl.BlockSpec((NF, geom.CH), lambda c: (0, c),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -698,7 +705,7 @@ def _prep_batch(pos_px, w, rpx, grid, np_pad, geom=G8, nxt=None,
 
     starts = jnp.searchsorted(key, jnp.arange(ntiles + 1, dtype=jnp.int32)).astype(jnp.int32)
     cnts = jnp.diff(starts)
-    aligned = (cnts + CHUNK - 1) // CHUNK * CHUNK
+    aligned = (cnts + geom.CH - 1) // geom.CH * geom.CH
     aoff = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(aligned, dtype=jnp.int32)]
     )
@@ -854,7 +861,7 @@ def _dispatch_batch(geom, ppj, wj, rj, grid, np_pad, bufs, accumulate,
         geom=_fold_geom(geom),
     )
     return _run_deposit(
-        ali, alf, *bufs, nchunks=np_pad // CHUNK, ntiles=ntiles,
+        ali, alf, *bufs, nchunks=np_pad // geom.CH, ntiles=ntiles,
         subsample=subsample, accumulate=accumulate, interpret=interpret,
         geom=geom,
     )
@@ -884,7 +891,7 @@ def splat_volume_traced_engine(ppx, w, rpx, grid, subsample: int = 4,
     vol = None
     for geom in buckets:
         ntiles = _ntiles(grid, geom)
-        need = n_pad + CHUNK * ntiles + ACHUNK + CHUNK
+        need = n_pad + geom.CH * ntiles + ACHUNK + geom.CH
         np_pad = (need + ACHUNK - 1) // ACHUNK * ACHUNK
         bufs = _dispatch_batch(
             geom, ppx, w, rpx, grid, np_pad, _zero_bufs(ntiles, geom),
@@ -1277,7 +1284,7 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
                 os.environ.get("NBODYHPC_TPU_HBM_GB", "13.0")
             ) * 2**30
             vol_bytes = 4 * gxp * gy * gz
-            np_pad_est = batch + CHUNK * m * ntx + ACHUNK + CHUNK
+            np_pad_est = batch + geom.CH * m * ntx + ACHUNK + geom.CH
             stream_bytes = 2 * (NF + NI) * 4 * np_pad_est
             avail = (
                 budget - vol_bytes - resident - 2 * stream_bytes - 2**30
@@ -1379,7 +1386,7 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
                     # particle emits at most one pair), so the stream is
                     # sized from the batch size — no counting pass, no host
                     # sync, and one compiled shape shared by full batches
-                    need = nb_pad + CHUNK * ntiles + ACHUNK + CHUNK
+                    need = nb_pad + geom.CH * ntiles + ACHUNK + geom.CH
                     np_pad = (need + ACHUNK - 1) // ACHUNK * ACHUNK
                 else:
                     # dedicated-transfer-queue analog (reference
@@ -1398,7 +1405,7 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
                     npairs = int(cnt_dev)
                     # geometric buckets bound the number of compiled shapes
                     # across varying per-batch counts
-                    need = npairs + CHUNK * ntiles + ACHUNK + CHUNK
+                    need = npairs + geom.CH * ntiles + ACHUNK + geom.CH
                     np_pad = ACHUNK
                     while np_pad < need:
                         np_pad = (
