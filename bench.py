@@ -187,7 +187,13 @@ def main():
     if os.environ.get("BENCH_KNN", "1") != "0":
         del part  # free HBM before the kNN workload
         _stamp("kNN workload")
-        result.update(_bench_knn(jax, jnp, np))
+        # the kNN metrics are secondary: never let a failure there take
+        # the headline splat line down with it
+        try:
+            result.update(_bench_knn(jax, jnp, np))
+        except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+            _stamp(f"kNN workload FAILED: {type(e).__name__}: {e}")
+            result["knn_error"] = f"{type(e).__name__}: {str(e)[:200]}"
     _stamp("done")
 
     print(json.dumps(result))

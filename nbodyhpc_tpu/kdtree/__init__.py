@@ -132,7 +132,9 @@ class KDTree:
         fallback) runs as one traced program, so this composes with jit
         and device-resident pipelines (the host-facing :meth:`query` adds
         reshaping, chunked cancellation points, and the Pallas block
-        kernel fast path for very large batches). Returns
+        kernel fast path for very large batches). Large batches are
+        scanned in bounded-memory chunks inside the program (`lax.map`),
+        so any Q compiles within the per-pass candidate budget. Returns
         (distances (Q, k) f32 ascending, indices (Q, k) uint32).
         """
         if k <= 0:
@@ -140,7 +142,10 @@ class KDTree:
         t = self._tree
         meta_static = t.meta_static
         ladder = _knn.default_ladder(k, t)
-        fn = _knn._compiled_query(meta_static, ladder, k, True, False)
+        # same per-pass transient bound as the host-chunked path
+        bmax = max(((2 * r + 1) ** 3) * c for r, c in ladder)
+        chunk = max(2048, (1 << 25) // bmax)
+        fn = _knn._compiled_query_chunked(meta_static, ladder, k, True, chunk)
         xyz, index, offsets = self._dev
         return fn(xyz, index, offsets, queries)
 

@@ -365,6 +365,40 @@ def _compiled_query(meta_static, ladder, k, with_fallback, with_stats):
     return jax.jit(_make_query_fn(meta_static, ladder, k, with_fallback, with_stats))
 
 
+@functools.lru_cache(maxsize=64)
+def _compiled_query_chunked(meta_static, ladder, k, with_fallback, chunk):
+    """Device-resident query with a bounded per-pass transient.
+
+    The single-program ladder materializes a [Q, cells_in_cube, cap]
+    candidate block per pass; at Q = 5e5 with the default ladder that is
+    a ~32 GB allocation and the compile itself is rejected on a 16 GB
+    chip. This variant scans ``chunk``-query slices with ``lax.map`` so
+    the transient stays at chunk scale for any Q, while remaining one
+    traced program (jit-composable, no host sync) — the device analog of
+    the host path's chunked loop (cell_knn_query below).
+    """
+    inner = _make_query_fn(meta_static, ladder, k, with_fallback, False)
+
+    @jax.jit
+    def run(xyz, index, offsets, queries):
+        Q = queries.shape[0]
+        if Q <= chunk:
+            return inner(xyz, index, offsets, queries)
+        pad = (-Q) % chunk
+        qp = queries
+        if pad:
+            qp = jnp.concatenate(
+                [queries, jnp.broadcast_to(queries[:1], (pad, 3))]
+            )
+        d, i = jax.lax.map(
+            lambda q: inner(xyz, index, offsets, q),
+            qp.reshape(-1, chunk, 3),
+        )
+        return d.reshape(-1, k)[:Q], i.reshape(-1, k)[:Q]
+
+    return run
+
+
 def cell_knn_query(
     tree: CellList,
     tree_dev,

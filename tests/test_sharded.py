@@ -155,6 +155,28 @@ def test_query_device_matches_host():
     np.testing.assert_allclose(np.asarray(d), dref, rtol=1e-6)
 
 
+def test_query_device_large_batch_chunked():
+    """Batches above the per-pass candidate budget must scan in bounded
+    lax.map chunks (a 5e5-query single program wanted a 32 GB transient);
+    answers must stay exact, including the non-multiple tail padding."""
+    import jax.numpy as jnp
+
+    from nbodyhpc_tpu.ops import knn as _knn
+
+    pos, _, _ = _particles(3000, 16)
+    tree = KDTree(pos, boxsize=1.0)
+    ladder = _knn.default_ladder(4, tree._tree)
+    bmax = max(((2 * r + 1) ** 3) * c for r, c in ladder)
+    chunk = max(2048, (1 << 25) // bmax)
+    rng = np.random.default_rng(17)
+    q = rng.random((2 * chunk + 137, 3), dtype=np.float32)
+    d, i = tree.query_device(jnp.asarray(q), k=4)
+    assert d.shape == (q.shape[0], 4)
+    dref, iref = tree.query(q, k=4)
+    np.testing.assert_array_equal(np.asarray(i), iref)
+    np.testing.assert_allclose(np.asarray(d), dref, rtol=1e-6)
+
+
 def test_sharded_knn_matches_single(mesh):
     pos, _, _ = _particles(5000, 3)
     q, _, _ = _particles(999, 4)  # odd count exercises padding
