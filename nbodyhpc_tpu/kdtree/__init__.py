@@ -125,21 +125,50 @@ class KDTree:
             indices = indices.reshape(shape[:-1] + (k,))
         return distances, indices
 
-    def query_device(self, queries, k: int = 1):
+    def query_device(self, queries, k: int = 1, engine: str = "auto"):
         """Fully device-resident exact k-NN: jax arrays in, jax arrays out.
 
-        No host round trip — the expanding-cube ladder (with brute-force
-        fallback) runs as one traced program, so this composes with jit
-        and device-resident pipelines (the host-facing :meth:`query` adds
-        reshaping, chunked cancellation points, and the Pallas block
-        kernel fast path for very large batches). Large batches are
-        scanned in bounded-memory chunks inside the program (`lax.map`),
-        so any Q compiles within the per-pass candidate budget. Returns
-        (distances (Q, k) f32 ascending, indices (Q, k) uint32).
+        Two dispositions, both exact:
+
+        - Large concrete batches on TPU take the Pallas candidate kernel
+          with the tree's precomputed static DMA plan
+          (:mod:`nbodyhpc_tpu.ops.knn_device`): per chunk the host sees
+          one scalar sync plus ~100 KB of packing metadata; everything
+          heavy stays on device, and unconverged queries are finished by
+          the exact ladder.
+        - Otherwise (small batches, traced queries, tiny wrapped trees)
+          the expanding-cube ladder (with brute-force fallback) runs as
+          one traced program — jit-composable, scanning bounded-memory
+          `lax.map` chunks so any Q compiles within the per-pass
+          candidate budget.
+
+        ``engine``: "auto" (default), "ladder", or "kernel" (force).
+        Returns (distances (Q, k) f32 ascending, indices (Q, k) uint32).
         """
         if k <= 0:
             raise ValueError("k must be positive")
         t = self._tree
+        import jax
+
+        tiny_wrap = bool(t.periodic) and (
+            int(t.dims[0]) < 3 or int(t.dims[1]) < 3
+        )
+        traced = isinstance(queries, jax.core.Tracer)
+        use_kernel = engine == "kernel" or (
+            engine == "auto"
+            and not traced
+            and not tiny_wrap
+            and queries.shape[0] >= 8192
+            and jax.default_backend() == "tpu"
+        )
+        if use_kernel:
+            from ..ops import knn_device
+
+            return knn_device.query_blocks_device(
+                t, self._dev, queries, k,
+                interpret=engine == "kernel"
+                and jax.default_backend() != "tpu",
+            )
         meta_static = t.meta_static
         ladder = _knn.default_ladder(k, t)
         # same per-pass transient bound as the host-chunked path
