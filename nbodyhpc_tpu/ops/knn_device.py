@@ -45,7 +45,9 @@ from .knn_pallas import (
     QB,
     RCAP,
     RFETCH,
+    _kpad,
     _run_knn,
+    _run_knn_topk,
     _topk_blocks,
 )
 
@@ -528,15 +530,29 @@ def query_blocks_device(tree, tree_dev, queries, k: int,
         dk_l, sk_l = [], []
         b0 = 0
         for msize in msizes:
-            d2 = _run_knn(
-                jax.lax.slice_in_dim(runs, b0, b0 + msize),
-                jax.lax.slice_in_dim(qblk, b0, b0 + msize),
-                xyz, nblocks=msize, periodic=periodic, box=box,
-                interpret=interpret,
-            )
-            t0 = _tr(f"B kernel msize={msize}", t0, d2)
-            dk, sk = _topk_blocks(d2, int(k))
-            t0 = _tr(f"B topk msize={msize}", t0, dk)
+            if k <= 128:
+                # fused kernel: distances + exact top-k in VMEM, skipping
+                # the [msize, QB, NCAND] HBM block (2.4 GB at msize=512)
+                # and the sort-based top_k pass entirely
+                dk3, sk3 = _run_knn_topk(
+                    jax.lax.slice_in_dim(runs, b0, b0 + msize),
+                    jax.lax.slice_in_dim(qblk, b0, b0 + msize),
+                    xyz, nblocks=msize, kpad=_kpad(int(k)),
+                    periodic=periodic, box=box, interpret=interpret,
+                )
+                dk = dk3[:, :, : int(k)].reshape(-1, int(k))
+                sk = sk3[:, :, : int(k)].reshape(-1, int(k))
+                t0 = _tr(f"B fused kernel msize={msize}", t0, dk)
+            else:
+                d2 = _run_knn(
+                    jax.lax.slice_in_dim(runs, b0, b0 + msize),
+                    jax.lax.slice_in_dim(qblk, b0, b0 + msize),
+                    xyz, nblocks=msize, periodic=periodic, box=box,
+                    interpret=interpret,
+                )
+                t0 = _tr(f"B kernel msize={msize}", t0, d2)
+                dk, sk = _topk_blocks(d2, int(k))
+                t0 = _tr(f"B topk msize={msize}", t0, dk)
             pace(dk)
             dk_l.append(dk)
             sk_l.append(sk)

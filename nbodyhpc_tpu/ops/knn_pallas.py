@@ -39,15 +39,9 @@ G = 12            # column-pair pieces packed per block (occupancy: a piece
 RFETCH = RCAP + 128  # aligned fetch width (DMA offsets must be 128-aligned)
 
 
-def _knn_kernel(runs_ref, q_ref, xyz_ref, out_ref, cand, sems,
-                *, periodic: bool, box):
-    # runs_ref: [1, G, 128] SMEM i32 per piece g: s0[0:36] (128-aligned),
-    #           lens[36:72], shift[72:108] (s - s0)
-    # q_ref: [1, QB, 4] VMEM f32: qx, qy, qz, piece id per query
-    # xyz_ref: [4, npad] ANY
-    # out_ref: [1, QB, NCAND] VMEM block (pipelined write); column slot r
-    #          holds, for each query, the distances from ITS piece's run r
-    # cand: VMEM [G*NRUNS, 4, RFETCH]; sems: DMA[G*NRUNS]
+def _start_run_dmas(runs_ref, xyz_ref, cand, sems):
+    """Kick off every non-empty run's candidate fetch up front (432 DMAs
+    in flight while the VPU works)."""
     for g in range(G):
         for r in range(NRUNS):
             ln = runs_ref[0, g, NRUNS + r]
@@ -61,41 +55,101 @@ def _knn_kernel(runs_ref, q_ref, xyz_ref, out_ref, cand, sems,
                     sems.at[g * NRUNS + r],
                 ).start()
 
-    qx = q_ref[0, :, 0:1]  # [QB, 1]
-    qy = q_ref[0, :, 1:2]
-    qz = q_ref[0, :, 2:3]
-    qg = q_ref[0, :, 3:4]  # piece id (pad slots carry -1: match no piece)
+
+def _run_distances(runs_ref, xyz_ref, cand, sems, q, r,
+                   periodic: bool, box):
+    """[QB, RCAP] squared distances from run slot ``r`` of each query's own
+    piece (inf outside the run / for pad queries)."""
+    qx, qy, qz, qg = q
     lane = jax.lax.broadcasted_iota(jnp.int32, (QB, RCAP), 1)
+    acc = jnp.full((QB, RCAP), jnp.inf, jnp.float32)
+    for g in range(G):
+        ln = runs_ref[0, g, NRUNS + r]
 
+        @pl.when(ln > 0)
+        def _():
+            pltpu.make_async_copy(
+                xyz_ref.at[:, pl.ds(
+                    pl.multiple_of(runs_ref[0, g, r], 128), RFETCH)],
+                cand.at[g * NRUNS + r],
+                sems.at[g * NRUNS + r],
+            ).wait()
+        shift = runs_ref[0, g, 2 * NRUNS + r]
+
+        # roll the run's candidates to lane 0 (run starts at `shift`)
+        rolled = pltpu.roll(
+            cand[g * NRUNS + r], jax.lax.rem(RFETCH - shift, RFETCH),
+            axis=1,
+        )
+        d2 = jnp.zeros((QB, RCAP), jnp.float32)
+        for dim, qd in ((0, qx), (1, qy), (2, qz)):
+            d = qd - rolled[dim, :RCAP][None, :]
+            if periodic:
+                d = _wrap_min_image(d, float(box[dim]))
+            d2 = d2 + d * d
+        val = jnp.where(lane < ln, d2, jnp.inf)
+        acc = jnp.where(qg == float(g), val, acc)
+    return acc
+
+
+def _q_columns(q_ref):
+    return (q_ref[0, :, 0:1], q_ref[0, :, 1:2], q_ref[0, :, 2:3],
+            q_ref[0, :, 3:4])  # piece id; pad slots carry -1: no piece
+
+
+def _knn_kernel(runs_ref, q_ref, xyz_ref, out_ref, cand, sems,
+                *, periodic: bool, box):
+    # runs_ref: [1, G, 128] SMEM i32 per piece g: s0[0:36] (128-aligned),
+    #           lens[36:72], shift[72:108] (s - s0)
+    # q_ref: [1, QB, 4] VMEM f32: qx, qy, qz, piece id per query
+    # xyz_ref: [4, npad] ANY
+    # out_ref: [1, QB, NCAND] VMEM block (pipelined write); column slot r
+    #          holds, for each query, the distances from ITS piece's run r
+    # cand: VMEM [G*NRUNS, 4, RFETCH]; sems: DMA[G*NRUNS]
+    _start_run_dmas(runs_ref, xyz_ref, cand, sems)
+    q = _q_columns(q_ref)
     for r in range(NRUNS):
-        acc = jnp.full((QB, RCAP), jnp.inf, jnp.float32)
-        for g in range(G):
-            ln = runs_ref[0, g, NRUNS + r]
+        out_ref[0, :, r * RCAP : (r + 1) * RCAP] = _run_distances(
+            runs_ref, xyz_ref, cand, sems, q, r, periodic, box
+        )
 
-            @pl.when(ln > 0)
-            def _():
-                pltpu.make_async_copy(
-                    xyz_ref.at[:, pl.ds(
-                        pl.multiple_of(runs_ref[0, g, r], 128), RFETCH)],
-                    cand.at[g * NRUNS + r],
-                    sems.at[g * NRUNS + r],
-                ).wait()
-            shift = runs_ref[0, g, 2 * NRUNS + r]
 
-            # roll the run's candidates to lane 0 (run starts at `shift`)
-            rolled = pltpu.roll(
-                cand[g * NRUNS + r], jax.lax.rem(RFETCH - shift, RFETCH),
-                axis=1,
-            )
-            d2 = jnp.zeros((QB, RCAP), jnp.float32)
-            for dim, q in ((0, qx), (1, qy), (2, qz)):
-                d = q - rolled[dim, :RCAP][None, :]
-                if periodic:
-                    d = _wrap_min_image(d, float(box[dim]))
-                d2 = d2 + d * d
-            val = jnp.where(lane < ln, d2, jnp.inf)
-            acc = jnp.where(qg == float(g), val, acc)
-        out_ref[0, :, r * RCAP : (r + 1) * RCAP] = acc
+def _knn_topk_kernel(runs_ref, q_ref, xyz_ref, dk_ref, sk_ref, cand, dblk,
+                     sems, *, periodic: bool, box, kpad: int):
+    """Fused candidate distances + exact top-k, never leaving VMEM.
+
+    The [QB, NCAND] distance block stays in a VMEM scratch and ``kpad``
+    extract-min passes pull out the smallest entries in ascending order
+    (ties resolved to the lowest candidate slot, exactly ``lax.top_k``'s
+    tie rule, so the fused and two-stage paths are interchangeable).
+    Replaces the XLA sort-based ``top_k`` (~1.2 us/row, PERF.md §2) AND
+    the [nblocks, QB, NCAND] HBM round trip (2.4 GB per 512-block macro).
+
+    Rows with fewer than ``kpad`` finite candidates may repeat an
+    already-extracted slot on the inf tail (there is no sentinel above
+    inf to retire them with); both epilogues sanitize non-finite rows
+    (index -> n, ladder fallback), so those duplicates are unobservable.
+    """
+    _start_run_dmas(runs_ref, xyz_ref, cand, sems)
+    q = _q_columns(q_ref)
+    for r in range(NRUNS):
+        dblk[:, r * RCAP : (r + 1) * RCAP] = _run_distances(
+            runs_ref, xyz_ref, cand, sems, q, r, periodic, box
+        )
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (QB, NCAND), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (QB, 128), 1)
+    outd = jnp.full((QB, 128), jnp.inf, jnp.float32)
+    outi = jnp.zeros((QB, 128), jnp.int32)
+    for i in range(kpad):
+        d = dblk[...]
+        m = jnp.min(d, axis=1, keepdims=True)
+        am = jnp.min(jnp.where(d == m, lanes, NCAND), axis=1, keepdims=True)
+        outd = jnp.where(cols == i, m, outd)
+        outi = jnp.where(cols == i, am, outi)
+        dblk[...] = jnp.where(lanes == am, jnp.inf, d)
+    dk_ref[0] = outd
+    sk_ref[0] = outi
 
 
 @functools.partial(
@@ -118,6 +172,56 @@ def _run_knn(runs, qblk, xyz, nblocks, periodic, box, interpret):
         out_shape=jax.ShapeDtypeStruct((nblocks, QB, NCAND), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((G * NRUNS, 4, RFETCH), jnp.float32),
+            pltpu.SemaphoreType.DMA((G * NRUNS,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(runs, qblk, xyz)
+
+
+def _kpad(k: int) -> int:
+    """Pass count for the fused kernel: next power of two (bounds the
+    compiled-shape set to 8 across every user k in [1, 128])."""
+    p = 1
+    while p < k:
+        p *= 2
+    return p
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nblocks", "kpad", "periodic", "box", "interpret"),
+)
+def _run_knn_topk(runs, qblk, xyz, nblocks, kpad, periodic, box, interpret):
+    """Fused kernel: (dk [nblocks, QB, 128] f32 ascending, sk i32 candidate
+    slots); lanes >= kpad are inf/0 filler. Requires k <= 128 (larger k
+    takes the two-stage _run_knn + _topk_blocks path)."""
+    kernel = functools.partial(
+        _knn_topk_kernel, periodic=periodic, box=box, kpad=kpad
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((1, G, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, QB, 4), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, QB, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QB, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nblocks, QB, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nblocks, QB, 128), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((G * NRUNS, 4, RFETCH), jnp.float32),
+            pltpu.VMEM((QB, NCAND), jnp.float32),
             pltpu.SemaphoreType.DMA((G * NRUNS,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -554,12 +658,23 @@ def query_blocks(tree, tree_dev, queries, k: int, batch_blocks: int = 1024,
         st = prep(c0, min(c0 + qchunk, Q))
         for b0 in range(0, st["nb_pad"], st["msize"]):
             b1 = b0 + st["msize"]
-            d2 = _run_knn(
-                jnp.asarray(st["runs"][b0:b1]), jnp.asarray(st["qblk"][b0:b1]),
-                xyz, nblocks=st["msize"], periodic=periodic, box=box,
-                interpret=interpret,
-            )
-            dk, sk = _topk_blocks(d2, k)
+            if k <= 128:
+                dk3, sk3 = _run_knn_topk(
+                    jnp.asarray(st["runs"][b0:b1]),
+                    jnp.asarray(st["qblk"][b0:b1]),
+                    xyz, nblocks=st["msize"], kpad=_kpad(k),
+                    periodic=periodic, box=box, interpret=interpret,
+                )
+                dk = dk3[:, :, :k].reshape(-1, k)
+                sk = sk3[:, :, :k].reshape(-1, k)
+            else:
+                d2 = _run_knn(
+                    jnp.asarray(st["runs"][b0:b1]),
+                    jnp.asarray(st["qblk"][b0:b1]),
+                    xyz, nblocks=st["msize"], periodic=periodic, box=box,
+                    interpret=interpret,
+                )
+                dk, sk = _topk_blocks(d2, k)
             # drain the PREVIOUS macro only after this one is enqueued: the
             # blocking host transfer (and the next chunk's host prep)
             # overlaps the device compute
