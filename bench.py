@@ -227,7 +227,11 @@ def _bench_knn(jax, jnp, np):
     float(jnp.sum(tree_d._dev[2][:1]))
     build_dev_s = time.time() - t0
     qd = pts_d[:nq]
-    dd, ii = tree_d.query_device(qd[:8192], k=16)  # warm compiles
+    # warm compiles with a FULL-SIZE run: macro decomposition compiles one
+    # kernel program per pow2 macro size (512/256/128) and a small warmup
+    # only covers the smallest — a cold driver run would then pay minutes
+    # of Pallas compiles inside the timed region (measured: 4.8k q/s)
+    dd, ii = tree_d.query_device(qd, k=16)
     float(jnp.sum(dd[:1]))
     t0 = time.time()
     dd, ii = tree_d.query_device(qd, k=16)
