@@ -59,6 +59,8 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
+import time
 from typing import NamedTuple
 
 import jax
@@ -68,6 +70,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .splat import FOUR_THIRDS_PI
+
+# NBODYHPC_SPLAT_TRACE=1: per-bucket/per-stage stderr timing with forced
+# syncs (distorts the async pipeline; for stage-split forensics only)
+_TRACE = os.environ.get("NBODYHPC_SPLAT_TRACE", "0") == "1"
+
+
+def _trs(label, t0, arr=None):
+    if _TRACE:
+        if arr is not None:
+            # force a real host transfer (axon): scalar-index, NEVER ravel
+            # (ravel of a grid-scale tile buffer materializes a full copy)
+            float(arr[(0,) * arr.ndim])
+        print(f"[splat] {label}: {(time.time() - t0) * 1000:.0f} ms",
+              file=sys.stderr, flush=True)
+    return time.time()
+
 
 # --- static geometry ---
 TX, TY, TZ = 128, 128, 64   # accumulator block shape; y is the lane axis
@@ -165,8 +183,8 @@ HALO = G8.HALO
 
 
 def _deposit_kernel(tilei_ref, attrs_ref, _outin, _hxin, _hzin, _hcin,
-                    out_ref, hx_ref, hz_ref, hc_ref, acc_ref, cur_ref,
-                    sem_ref, *, subsample: int, accumulate: bool,
+                    nreal_ref, out_ref, hx_ref, hz_ref, hc_ref, acc_ref,
+                    cur_ref, sem_ref, *, subsample: int, accumulate: bool,
                     nchunks: int, geom: _Geom, interpret: bool):
     F, FL, HALO = geom.F, geom.FL, geom.HALO
     XSLOTS, ZSLOTS = geom.XSLOTS, geom.ZSLOTS
@@ -199,169 +217,193 @@ def _deposit_kernel(tilei_ref, attrs_ref, _outin, _hxin, _hzin, _hcin,
         for d in dmas:
             d.wait()
 
-    @pl.when(tile != cur_ref[0])
-    def _():
-        @pl.when(cur_ref[0] >= 0)
+    def _body():
+        @pl.when(tile != cur_ref[0])
         def _():
-            flush(cur_ref[0])
+            @pl.when(cur_ref[0] >= 0)
+            def _():
+                flush(cur_ref[0])
 
-        if accumulate:
-            dmas = [
-                pltpu.make_async_copy(h, a, sem_ref) for a, h in regions(tile)
-            ]
-            for d in dmas:
-                d.start()
-            # left halos are not persisted (they only ever hold off-grid
-            # spill from origin-clamped windows): zero before reuse
-            acc_ref[:HALO, :, :] = jnp.zeros((HALO, ZSLOTS, TY), jnp.float32)
-            acc_ref[HALO:, :HALO, :] = jnp.zeros(
-                (XSLOTS - HALO, HALO, TY), jnp.float32
-            )
-            for d in dmas:
-                d.wait()
-        else:
-            acc_ref[:] = jnp.zeros((XSLOTS, ZSLOTS, TY), jnp.float32)
-        cur_ref[0] = tile
-
-    expand_t = (
-        jax.lax.broadcasted_iota(jnp.int32, (P, 128), 1) // FL
-        == jax.lax.broadcasted_iota(jnp.int32, (P, 128), 0)
-    ).astype(jnp.float32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (NR, TY), 1)
-    irow = jax.lax.broadcasted_iota(jnp.int32, (NR, TY), 0) // F   # x offset
-    zrow = jax.lax.broadcasted_iota(jnp.int32, (NR, TY), 0) % F    # z offset
-    # lane slot j in [0, FL) within a particle's stride carries y-window
-    # offset j; slots j >= F (when FL > F) compute garbage y-deltas that
-    # the inwin mask at deposit time discards
-    yrel = (lane % FL).astype(jnp.float32)
-    i_f = irow.astype(jnp.float32)
-    z_f = zrow.astype(jnp.float32)
-    S = subsample
-    u = [(a + 0.5) / S for a in range(S)]
-    inv_s3 = 1.0 / float(S**3)
-
-    for g in range(geom.CH // P):
-        a16 = attrs_ref[:, g * P : (g + 1) * P]  # [NF, P]
-        if interpret:
-            # the interpreter emulates the MXU's bf16 input truncation, and
-            # XLA's algebraic simplifier may merge the three piece-dots into
-            # one dot(p1+p2+p3, E) — collapsing the bf16x3 reconstruction to
-            # a single bf16 rounding. Interpret mode therefore expands lanes
-            # directly; Mosaic compiles the dots as written, so the real
-            # TPU path below stays bit-exact (verified on device).
-            aexp = jnp.repeat(a16, FL, axis=1)
-        else:
-            # exact f32 lane expansion via bf16x3 one-hot matmul (MXU
-            # truncates inputs to bf16; three exact pieces reconstruct in
-            # the f32 accumulator — see .claude/skills/verify/SKILL.md)
-            p1 = a16.astype(jnp.bfloat16).astype(jnp.float32)
-            r1 = a16 - p1
-            p2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
-            p3 = r1 - p2
-            aexp = jnp.zeros((NF, 128), jnp.float32)
-            for piece in (p1, p2, p3):
-                aexp = aexp + jax.lax.dot_general(
-                    piece, expand_t, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-        pxv = aexp[0:1, :]      # absolute particle position, pixel units
-        pyv = aexp[1:2, :]
-        pzv = aexp[2:3, :]
-        rpx = aexp[3:4, :]
-        w_norm = aexp[4:5, :]
-        w_raw = aexp[5:6, :]
-        is_sub = aexp[6:7, :] > 0.5
-
-        # Window-base voxel coordinates recomputed in-kernel with the exact
-        # f32 expression _prep_batch uses for row0/by addressing (ceil(p -
-        # 4.5)), so values and addresses agree bit-for-bit. Every delta
-        # below is then a SINGLE rounding of the same real-number expression
-        # the oracle evaluates (splat.py:88-111) — carrying window-relative
-        # offsets instead (the old scheme) double-rounds and flips subcell
-        # compares at f32 boundaries.
-        bxf = jnp.ceil(pxv - (F / 2 + 0.5))
-        byf = jnp.ceil(pyv - (F / 2 + 0.5))
-        bzf = jnp.ceil(pzv - (F / 2 + 0.5))
-        vxf = bxf + i_f         # [64, TY] voxel coords of packed window slots
-        vyf = byf + yrel
-        vzf = bzf + z_f
-
-        dx = pxv - vxf          # corner deltas (splat.py:105-107)
-        dy = pyv - vyf
-        dz = pzv - vzf
-        r2 = rpx * rpx
-
-        # --- big-particle path (triangle.vert:41-45 + triangle.frag:25-45) --
-        zoff = pzv - (vzf + 0.5)
-        zclip = jnp.abs(zoff) <= rpx + 1.0
-        plane_r = jnp.sqrt(jnp.maximum(r2 - zoff * zoff, 0.0))
-        half = jnp.ceil(plane_r) + 1.0
-        cx = (vxf + 0.5) - pxv
-        cy = (vyf + 0.5) - pyv
-        cover = (cx >= -half) & (cx < half) & (cy >= -half) & (cy < half) & zclip
-
-        # subcell sum, oracle association order: (ax + ay) + az < r^2, with
-        # per-axis squares hoisted (Mosaic does not CSE across the unroll).
-        # The indicator accumulation is a balanced tree, not a serial chain:
-        # sums of 0/1 values <= S^3 are exact in f32 under any association,
-        # so this is bit-identical to the oracle's serial sum while giving
-        # the VPU a log-depth dependency graph (measured ~3% kernel win).
-        dxa2 = []
-        dyb2 = []
-        dzc2 = []
-        for a in range(S):
-            t = dx - u[a]
-            dxa2.append(t * t)
-            t = dy - u[a]
-            dyb2.append(t * t)
-            t = dz - u[a]
-            dzc2.append(t * t)
-        def tree_sum(terms):
-            while len(terms) > 1:
-                terms = [
-                    terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
-                    for i in range(0, len(terms), 2)
+            if accumulate:
+                dmas = [
+                    pltpu.make_async_copy(h, a, sem_ref)
+                    for a, h in regions(tile)
                 ]
-            return terms[0]
+                for d in dmas:
+                    d.start()
+                # left halos are not persisted (they only ever hold off-grid
+                # spill from origin-clamped windows): zero before reuse
+                acc_ref[:HALO, :, :] = jnp.zeros(
+                    (HALO, ZSLOTS, TY), jnp.float32)
+                acc_ref[HALO:, :HALO, :] = jnp.zeros(
+                    (XSLOTS - HALO, HALO, TY), jnp.float32
+                )
+                for d in dmas:
+                    d.wait()
+            else:
+                acc_ref[:] = jnp.zeros((XSLOTS, ZSLOTS, TY), jnp.float32)
+            cur_ref[0] = tile
 
-        parts = []
-        for a in range(S):
-            for b in range(S):
-                rab = r2 - (dxa2[a] + dyb2[b])
-                parts.append(tree_sum(
-                    [jnp.where(dzc2[cc] < rab, 1.0, 0.0) for cc in range(S)]
-                ))
-        count = tree_sum(parts)
-        big_val = w_norm * (count * inv_s3) * cover
+        expand_t = (
+            jax.lax.broadcasted_iota(jnp.int32, (P, 128), 1) // FL
+            == jax.lax.broadcasted_iota(jnp.int32, (P, 128), 0)
+        ).astype(jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (NR, TY), 1)
+        irow = jax.lax.broadcasted_iota(jnp.int32, (NR, TY), 0) // F   # x offset
+        zrow = jax.lax.broadcasted_iota(jnp.int32, (NR, TY), 0) % F    # z offset
+        # lane slot j in [0, FL) within a particle's stride carries y-window
+        # offset j; slots j >= F (when FL > F) compute garbage y-deltas that
+        # the inwin mask at deposit time discards
+        yrel = (lane % FL).astype(jnp.float32)
+        i_f = irow.astype(jnp.float32)
+        z_f = zrow.astype(jnp.float32)
+        S = subsample
+        u = [(a + 0.5) / S for a in range(S)]
+        inv_s3 = 1.0 / float(S**3)
 
-        # --- sub-pixel path (triangle.vert:47-60; splat.py:128-140) ---
-        sub_val = jnp.where(
-            (vxf == jnp.floor(pxv))
-            & (vyf == jnp.floor(pyv))
-            & (pzv > vzf)
-            & (pzv <= vzf + 1.0),
-            w_raw,
-            0.0,
-        )
-        pc = jnp.where(is_sub, sub_val, big_val)  # [64, TY] packed
+        for g in range(geom.CH // P):
+            a16 = attrs_ref[:, g * P : (g + 1) * P]  # [NF, P]
+            if interpret:
+                # the interpreter emulates the MXU's bf16 input truncation, and
+                # XLA's algebraic simplifier may merge the three piece-dots into
+                # one dot(p1+p2+p3, E) — collapsing the bf16x3 reconstruction to
+                # a single bf16 rounding. Interpret mode therefore expands lanes
+                # directly; Mosaic compiles the dots as written, so the real
+                # TPU path below stays bit-exact (verified on device).
+                aexp = jnp.repeat(a16, FL, axis=1)
+            else:
+                # exact f32 lane expansion via bf16x3 one-hot matmul (MXU
+                # truncates inputs to bf16; three exact pieces reconstruct in
+                # the f32 accumulator — see .claude/skills/verify/SKILL.md)
+                p1 = a16.astype(jnp.bfloat16).astype(jnp.float32)
+                r1 = a16 - p1
+                p2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
+                p3 = r1 - p2
+                aexp = jnp.zeros((NF, 128), jnp.float32)
+                for piece in (p1, p2, p3):
+                    aexp = aexp + jax.lax.dot_general(
+                        piece, expand_t, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+            pxv = aexp[0:1, :]      # absolute particle position, pixel units
+            pyv = aexp[1:2, :]
+            pzv = aexp[2:3, :]
+            rpx = aexp[3:4, :]
+            w_norm = aexp[4:5, :]
+            w_raw = aexp[5:6, :]
+            is_sub = aexp[6:7, :] > 0.5
 
-        # --- per-particle deposit: roll y-window into lane position ---
-        for p in range(P):
-            i = g * P + p
-            bxe = tilei_ref[1, i]
-            bze = tilei_ref[2, i]
-            by = tilei_ref[3, i]
-            shift = jax.lax.rem(by - FL * p + 256, 128)
-            rolled = pltpu.roll(pc, shift, axis=1)
-            inwin = (lane - by).astype(jnp.uint32) < F  # [by, by+F) ∩ [0,128)
-            contrib = jnp.where(inwin, rolled, 0.0)
-            sx = pl.ds(bxe, F)
-            sz = pl.ds(bze, F)
-            acc_ref[sx, sz, :] = acc_ref[sx, sz, :] + contrib.reshape(F, F, TY)
+            # Window-base voxel coordinates recomputed in-kernel with the exact
+            # f32 expression _prep_batch uses for row0/by addressing (ceil(p -
+            # 4.5)), so values and addresses agree bit-for-bit. Every delta
+            # below is then a SINGLE rounding of the same real-number expression
+            # the oracle evaluates (splat.py:88-111) — carrying window-relative
+            # offsets instead (the old scheme) double-rounds and flips subcell
+            # compares at f32 boundaries.
+            bxf = jnp.ceil(pxv - (F / 2 + 0.5))
+            byf = jnp.ceil(pyv - (F / 2 + 0.5))
+            bzf = jnp.ceil(pzv - (F / 2 + 0.5))
+            vxf = bxf + i_f         # [64, TY] voxel coords of packed window slots
+            vyf = byf + yrel
+            vzf = bzf + z_f
+
+            dx = pxv - vxf          # corner deltas (splat.py:105-107)
+            dy = pyv - vyf
+            dz = pzv - vzf
+            r2 = rpx * rpx
+
+            # --- big-particle path (triangle.vert:41-45 + triangle.frag:25-45) --
+            zoff = pzv - (vzf + 0.5)
+            zclip = jnp.abs(zoff) <= rpx + 1.0
+            plane_r = jnp.sqrt(jnp.maximum(r2 - zoff * zoff, 0.0))
+            half = jnp.ceil(plane_r) + 1.0
+            cx = (vxf + 0.5) - pxv
+            cy = (vyf + 0.5) - pyv
+            cover = (cx >= -half) & (cx < half) & (cy >= -half) & (cy < half) & zclip
+
+            # subcell sum, oracle association order: (ax + ay) + az < r^2, with
+            # per-axis squares hoisted (Mosaic does not CSE across the unroll).
+            # The indicator accumulation is a balanced tree, not a serial chain:
+            # sums of 0/1 values <= S^3 are exact in f32 under any association,
+            # so this is bit-identical to the oracle's serial sum while giving
+            # the VPU a log-depth dependency graph (measured ~3% kernel win).
+            dxa2 = []
+            dyb2 = []
+            dzc2 = []
+            for a in range(S):
+                t = dx - u[a]
+                dxa2.append(t * t)
+                t = dy - u[a]
+                dyb2.append(t * t)
+                t = dz - u[a]
+                dzc2.append(t * t)
+            def tree_sum(terms):
+                while len(terms) > 1:
+                    terms = [
+                        terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+                        for i in range(0, len(terms), 2)
+                    ]
+                return terms[0]
+
+            parts = []
+            for a in range(S):
+                for b in range(S):
+                    rab = r2 - (dxa2[a] + dyb2[b])
+                    parts.append(tree_sum(
+                        [jnp.where(dzc2[cc] < rab, 1.0, 0.0) for cc in range(S)]
+                    ))
+            count = tree_sum(parts)
+            big_val = w_norm * (count * inv_s3) * cover
+
+            # --- sub-pixel path (triangle.vert:47-60; splat.py:128-140) ---
+            sub_val = jnp.where(
+                (vxf == jnp.floor(pxv))
+                & (vyf == jnp.floor(pyv))
+                & (pzv > vzf)
+                & (pzv <= vzf + 1.0),
+                w_raw,
+                0.0,
+            )
+            pc = jnp.where(is_sub, sub_val, big_val)  # [64, TY] packed
+
+            # --- per-particle deposit: roll y-window into lane position ---
+            # NBODYHPC_DEPOSIT_ABLATE (forensics only, breaks correctness):
+            # staticaddr = RMW at fixed offsets; noroll = skip the y-roll;
+            # nodeposit = skip the whole per-particle loop
+            ablate = os.environ.get("NBODYHPC_DEPOSIT_ABLATE", "")
+            for p in range(P):
+                if ablate == "nodeposit":
+                    break
+                i = g * P + p
+                bxe = tilei_ref[1, i]
+                bze = tilei_ref[2, i]
+                by = tilei_ref[3, i]
+                shift = jax.lax.rem(by - FL * p + 256, 128)
+                rolled = pc if ablate == "noroll" else pltpu.roll(
+                    pc, shift, axis=1)
+                inwin = (lane - by).astype(jnp.uint32) < F  # [by, by+F) ∩ [0,128)
+                contrib = jnp.where(inwin, rolled, 0.0)
+                if ablate == "staticaddr":
+                    bxe = jnp.int32(HALO)
+                    bze = jnp.int32(HALO)
+                sx = pl.ds(bxe, F)
+                sz = pl.ds(bze, F)
+                acc_ref[sx, sz, :] = acc_ref[sx, sz, :] + contrib.reshape(F, F, TY)
+
+    # chunks past the real aligned-pair prefix are pure padding (tile
+    # sentinel, zero weight): skip their entire vector body. Small radius
+    # classes are dominated by the worst-case CH * ntiles sizing term in
+    # np_pad (a 50k-particle G32 class pads to ~6x its real rows), so
+    # without this gate most of their deposit time is spent grinding
+    # zero-weight pad chunks.
+    pl.when(c < nreal_ref[0])(_body)
 
     @pl.when(c == nchunks - 1)
     def _():
-        flush(cur_ref[0])
+        @pl.when(cur_ref[0] >= 0)  # nreal can be 0 (fully ineligible batch)
+        def _():
+            flush(cur_ref[0])
+
 
 
 @functools.partial(
@@ -377,8 +419,8 @@ def _deposit_kernel(tilei_ref, attrs_ref, _outin, _hxin, _hzin, _hcin,
     # volume is resident). Callers never reuse the passed-in buffers.
     donate_argnums=(2, 3, 4, 5),
 )
-def _run_deposit(tilei, attrs, out_init, hx_init, hz_init, hc_init, nchunks,
-                 ntiles, subsample, accumulate, interpret, geom=G8):
+def _run_deposit(tilei, attrs, out_init, hx_init, hz_init, hc_init, nreal,
+                 nchunks, ntiles, subsample, accumulate, interpret, geom=G8):
     HALO = geom.HALO
     kernel = functools.partial(
         _deposit_kernel, subsample=subsample, accumulate=accumulate,
@@ -398,6 +440,7 @@ def _run_deposit(tilei, attrs, out_init, hx_init, hz_init, hc_init, nchunks,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1,), lambda c: (0,), memory_space=pltpu.SMEM),
         ],
         out_specs=tuple(pl.BlockSpec(memory_space=pl.ANY) for _ in range(4)),
         out_shape=(
@@ -422,7 +465,7 @@ def _run_deposit(tilei, attrs, out_init, hx_init, hz_init, hc_init, nchunks,
             has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(tilei, attrs, out_init, hx_init, hz_init, hc_init)
+    )(tilei, attrs, out_init, hx_init, hz_init, hc_init, nreal)
 
 
 # ---------------------------------------------------------------------------
@@ -860,8 +903,13 @@ def _dispatch_batch(geom, ppj, wj, rj, grid, np_pad, bufs, accumulate,
         np_pad=np_pad, ntiles=ntiles, interpret=interpret,
         geom=_fold_geom(geom),
     )
+    # chunks holding real aligned pairs (the packed prefix of the aligned
+    # stream); the deposit kernel skips the pure-pad chunks past it
+    nreal = jnp.sum(
+        (cnts + geom.CH - 1) // geom.CH, dtype=jnp.int32
+    ).reshape(1)
     return _run_deposit(
-        ali, alf, *bufs, nchunks=np_pad // geom.CH, ntiles=ntiles,
+        ali, alf, *bufs, nreal, nchunks=np_pad // geom.CH, ntiles=ntiles,
         subsample=subsample, accumulate=accumulate, interpret=interpret,
         geom=geom,
     )
@@ -1235,21 +1283,26 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
         n_huge = int(np.count_nonzero(huge))
         resident = 0  # per-batch uploads only
 
-    def run_bucket(geom, p_in, w_in, r_in, vol0, off=0, cnt=None,
-                   key_in=None, wtab=None, kbase=0):
-        """Stream rows ``[off, off + cnt)`` of the inputs through the bucket
-        pipeline (the contiguous class slice on the partitioned device
-        path; the whole array otherwise). Device-path radii arrive raw and
-        are scaled to pixels per batch; numpy-path radii are pre-scaled.
+    def run_group(jobs, vol0):
+        """Stream several radius buckets sharing ONE tile geometry through
+        a single tile set: per x-window, ONE ``_zero_bufs`` and ONE
+        ``_unpack_tiles`` combine serve every member, with each member's
+        batches depositing (accumulate) into the shared buffers. Buckets
+        whose folded geom matches (G6/G8; G10/G12/G16) have identical tile
+        shapes and combine programs (``_fold_geom``), so a mixed-radius
+        workload pays the grid-scale fixed costs once per GROUP instead of
+        once per bucket — at 1024^3 those passes are seconds.
 
-        Fused-partition mode (``key_in``/``wtab``/``kbase`` set): the
-        inputs are globally sorted by (class, tile) and already in pixel
-        units; ``wtab[xt]`` is the absolute row where the class's x-tile
-        slab ``xt`` starts, so each x-window run streams ONLY its own
-        contiguous rows and every batch goes to ``_prep_batch`` pre-sorted
-        (the carried key channel replaces the per-batch sort).
+        Each job is a dict: geom, p_in/w_in/r_in (numpy-path per-class
+        arrays or the shared device arrays), off/cnt (the class's
+        contiguous slice on the partitioned device path), and the fused-
+        partition channels key_in/wtab/kbase (inputs globally sorted by
+        (class, tile), already pixel-scaled; ``wtab[xt]`` is the absolute
+        row where the class's x-tile slab ``xt`` starts, so each x-window
+        run streams ONLY its own contiguous rows and every batch reaches
+        ``_prep_batch`` pre-sorted).
 
-        HBM discipline: when this bucket's full-grid tile buffers plus the
+        HBM discipline: when the group's full-grid tile buffers plus the
         resident arrays (inputs + the eventual volume) would overflow the
         chip, the grid is processed as several x-tile slab WINDOWS — each
         window allocates only its own tiles, re-streams the class slice
@@ -1257,11 +1310,12 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
         crossing a window boundary is chained through carry strips into the
         next window's combine. The memory-bounded analog of the reference's
         per-slice streaming (point_renderer.cpp:864-946)."""
+        fgeom = _fold_geom(jobs[0]["geom"])
         grid3 = (gx, gy, gz)
-        gxp, gyp, gzp = _grid_pad(grid3, geom)
-        ntx, nty, ntz = gxp // TX, gyp // geom.YTILE, gzp // TZ
+        gxp, gyp, gzp = _grid_pad(grid3, fgeom)
+        ntx, nty, ntz = gxp // TX, gyp // fgeom.YTILE, gzp // TZ
         m = nty * ntz
-        H = geom.HALO
+        H = fgeom.HALO
         slab_bytes = 4 * m * TY * (TX * TZ + H * TZ + TX * H + H * H)
         force = os.environ.get("NBODYHPC_TPU_SPLAT_SLABS")
         if force:
@@ -1284,7 +1338,8 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
                 os.environ.get("NBODYHPC_TPU_HBM_GB", "13.0")
             ) * 2**30
             vol_bytes = 4 * gxp * gy * gz
-            np_pad_est = batch + geom.CH * m * ntx + ACHUNK + geom.CH
+            ch_max = max(j["geom"].CH for j in jobs)
+            np_pad_est = batch + ch_max * m * ntx + ACHUNK + ch_max
             stream_bytes = 2 * (NF + NI) * 4 * np_pad_est
             avail = (
                 budget - vol_bytes - resident - 2 * stream_bytes - 2**30
@@ -1298,21 +1353,19 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
         nruns = -(-ntx // nper)
         nper = -(-ntx // nruns)  # balance window sizes (forced plans)
 
-        n = p_in.shape[0] if cnt is None else cnt
-
-        def stage_host(s, e, xwin):
+        def stage_host(job, s, e, xwin):
             """Enqueue one batch's H2D upload + pair count (both async)."""
             nb = e - s
             nb_pad = _quant_rows(nb, batch)
             pp = np.zeros((nb_pad, 3), np.float32)
-            pp[:nb] = p_in[s:e] * pixels_per_unit
+            pp[:nb] = job["p_in"][s:e] * pixels_per_unit
             wb = np.zeros(nb_pad, np.float32)
-            wb[:nb] = w_in[s:e]
+            wb[:nb] = job["w_in"][s:e]
             rb = np.ones(nb_pad, np.float32)
-            rb[:nb] = r_in[s:e]
+            rb[:nb] = job["r_in"][s:e]
             ppj, wj, rj = jnp.asarray(pp), jnp.asarray(wb), jnp.asarray(rb)
             return ppj, wj, rj, _count_pairs(
-                ppj, rj, wj, grid3, geom,
+                ppj, rj, wj, grid3, job["geom"],
                 None if xwin is None else xwin[1],
                 jnp.int32(0 if xwin is None else xwin[0]),
             )
@@ -1320,146 +1373,192 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
         vol = vol0
         carry = None
         for xt0 in range(0, ntx, nper):
+            tw = time.time()
             nxt = min(nper, ntx - xt0)
             xwin = None if nruns == 1 else (xt0, nxt)
             ntiles = m * nxt
-            if wtab is not None:
-                # fused mode: this window's own contiguous row range
-                row0 = wtab[xt0]
-                wn = wtab[min(xt0 + nxt, ntx)] - row0
-                kb = kbase + xt0 * m
-            else:
-                row0, wn = off, n
-            bufs = _zero_bufs(ntiles, geom)
-            staged = None
+            bufs = _zero_bufs(ntiles, fgeom)
+            tw = _trs(f"group F={fgeom.F} win@{xt0} zero_bufs", tw,
+                      bufs[0] if _TRACE else None)
             first = True
-            for bi, s in enumerate(range(0, max(wn, 1), batch)):
-                e = min(s + batch, wn)
-                if e <= s:
-                    break
-                nb = e - s
-                nb_pad = _quant_rows(nb, batch)
-                kj = None
-                if device_in:
-                    # fused inputs are already pixel-scaled; never multiply
-                    # them again (even *1.0 would be an extra full-batch
-                    # copy in the timed loop)
-                    def _scaled(a):
-                        return a if wtab is not None else a * pixels_per_unit
-
-                    if nb == batch:  # uniform shapes: one compile per batch
-                        ppj = _scaled(jax.lax.dynamic_slice(
-                            p_in, (row0 + s, 0), (batch, 3)
-                        ))
-                        wj = jax.lax.dynamic_slice(
-                            w_in, (row0 + s,), (batch,))
-                        rj = _scaled(jax.lax.dynamic_slice(
-                            r_in, (row0 + s,), (batch,)))
-                        if wtab is not None:
-                            kj = jax.lax.dynamic_slice(
-                                key_in, (row0 + s,), (batch,)
-                            ) - kb
-                    else:  # final partial batch, zero-padded
-                        ppj = jnp.zeros((nb_pad, 3), jnp.float32).at[:nb].set(
-                            _scaled(jax.lax.dynamic_slice(
-                                p_in, (row0 + s, 0), (nb, 3)
-                            ))
-                        )
-                        wj = jnp.zeros(nb_pad, jnp.float32).at[:nb].set(
-                            jax.lax.dynamic_slice(w_in, (row0 + s,), (nb,))
-                        )
-                        rj = jnp.ones(nb_pad, jnp.float32).at[:nb].set(
-                            _scaled(jax.lax.dynamic_slice(
-                                r_in, (row0 + s,), (nb,)))
-                        )
-                        if wtab is not None:
-                            # pad keys with the invalid sentinel: the tail
-                            # stays sorted and deposits nothing
-                            kj = jnp.full(
-                                nb_pad, ntiles, jnp.int32
-                            ).at[:nb].set(
-                                jax.lax.dynamic_slice(
-                                    key_in, (row0 + s,), (nb,)
-                                ) - kb
-                            )
-                    # valid pairs <= nb_pad always (1-slot assignment: each
-                    # particle emits at most one pair), so the stream is
-                    # sized from the batch size — no counting pass, no host
-                    # sync, and one compiled shape shared by full batches
-                    need = nb_pad + geom.CH * ntiles + ACHUNK + geom.CH
-                    np_pad = (need + ACHUNK - 1) // ACHUNK * ACHUNK
+            for job in jobs:
+                geom = job["geom"]
+                wtab, key_in = job["wtab"], job["key_in"]
+                n = (job["p_in"].shape[0] if job["cnt"] is None
+                     else job["cnt"])
+                if wtab is not None:
+                    # fused mode: this window's own contiguous row range
+                    row0 = wtab[xt0]
+                    wn = wtab[min(xt0 + nxt, ntx)] - row0
+                    kb = job["kbase"] + xt0 * m
                 else:
-                    # dedicated-transfer-queue analog (reference
-                    # vulkan_support.cpp:204-237): uploads are enqueued one
-                    # batch AHEAD, so batch i+1's H2D transfer rides the
-                    # async dispatch stream while batch i computes — the
-                    # only per-batch host sync is the (tiny) pair count,
-                    # taken after the next upload is already in flight
-                    if staged is None:
-                        staged = stage_host(s, e, xwin)
-                    ppj, wj, rj, cnt_dev = staged
-                    staged = (
-                        stage_host(e, min(e + batch, n), xwin)
-                        if e < n else None
-                    )
-                    npairs = int(cnt_dev)
-                    # geometric buckets bound the number of compiled shapes
-                    # across varying per-batch counts
-                    need = npairs + geom.CH * ntiles + ACHUNK + geom.CH
-                    np_pad = ACHUNK
-                    while np_pad < need:
-                        np_pad = (
-                            (int(np_pad * 11) // 10 + ACHUNK)
-                            // ACHUNK * ACHUNK
+                    row0, wn = job["off"], n
+                p_in, w_in, r_in = job["p_in"], job["w_in"], job["r_in"]
+                staged = None
+                for bi, s in enumerate(range(0, max(wn, 1), batch)):
+                    e = min(s + batch, wn)
+                    if e <= s:
+                        break
+                    nb = e - s
+                    nb_pad = _quant_rows(nb, batch)
+                    kj = None
+                    if device_in:
+                        # fused inputs are already pixel-scaled; never
+                        # multiply them again (even *1.0 would be an extra
+                        # full-batch copy in the timed loop)
+                        def _scaled(a):
+                            return (a if wtab is not None
+                                    else a * pixels_per_unit)
+
+                        if nb == batch:  # uniform shapes: one compile/batch
+                            ppj = _scaled(jax.lax.dynamic_slice(
+                                p_in, (row0 + s, 0), (batch, 3)
+                            ))
+                            wj = jax.lax.dynamic_slice(
+                                w_in, (row0 + s,), (batch,))
+                            rj = _scaled(jax.lax.dynamic_slice(
+                                r_in, (row0 + s,), (batch,)))
+                            if wtab is not None:
+                                kj = jax.lax.dynamic_slice(
+                                    key_in, (row0 + s,), (batch,)
+                                ) - kb
+                        else:  # final partial batch, zero-padded
+                            ppj = jnp.zeros(
+                                (nb_pad, 3), jnp.float32
+                            ).at[:nb].set(
+                                _scaled(jax.lax.dynamic_slice(
+                                    p_in, (row0 + s, 0), (nb, 3)
+                                ))
+                            )
+                            wj = jnp.zeros(nb_pad, jnp.float32).at[:nb].set(
+                                jax.lax.dynamic_slice(
+                                    w_in, (row0 + s,), (nb,))
+                            )
+                            rj = jnp.ones(nb_pad, jnp.float32).at[:nb].set(
+                                _scaled(jax.lax.dynamic_slice(
+                                    r_in, (row0 + s,), (nb,)))
+                            )
+                            if wtab is not None:
+                                # pad keys with the invalid sentinel: the
+                                # tail stays sorted and deposits nothing
+                                kj = jnp.full(
+                                    nb_pad, ntiles, jnp.int32
+                                ).at[:nb].set(
+                                    jax.lax.dynamic_slice(
+                                        key_in, (row0 + s,), (nb,)
+                                    ) - kb
+                                )
+                        # valid pairs <= nb_pad always (1-slot assignment:
+                        # each particle emits at most one pair), so the
+                        # stream is sized from the batch size — no counting
+                        # pass, no host sync, and one compiled shape shared
+                        # by full batches
+                        need = nb_pad + geom.CH * ntiles + ACHUNK + geom.CH
+                        np_pad = (need + ACHUNK - 1) // ACHUNK * ACHUNK
+                    else:
+                        # dedicated-transfer-queue analog (reference
+                        # vulkan_support.cpp:204-237): uploads are enqueued
+                        # one batch AHEAD, so batch i+1's H2D transfer rides
+                        # the async dispatch stream while batch i computes —
+                        # the only per-batch host sync is the (tiny) pair
+                        # count, taken after the next upload is in flight
+                        if staged is None:
+                            staged = stage_host(job, s, e, xwin)
+                        ppj, wj, rj, cnt_dev = staged
+                        staged = (
+                            stage_host(job, e, min(e + batch, n), xwin)
+                            if e < n else None
                         )
+                        npairs = int(cnt_dev)
+                        # geometric buckets bound the number of compiled
+                        # shapes across varying per-batch counts
+                        need = npairs + geom.CH * ntiles + ACHUNK + geom.CH
+                        np_pad = ACHUNK
+                        while np_pad < need:
+                            np_pad = (
+                                (int(np_pad * 11) // 10 + ACHUNK)
+                                // ACHUNK * ACHUNK
+                            )
 
-                bufs = _dispatch_batch(
-                    geom, ppj, wj, rj, grid3, np_pad, bufs,
-                    accumulate=not first, subsample=subsample,
-                    interpret=interpret, xwin=xwin, key_in=kj,
+                    bufs = _dispatch_batch(
+                        geom, ppj, wj, rj, grid3, np_pad, bufs,
+                        accumulate=not first, subsample=subsample,
+                        interpret=interpret, xwin=xwin, key_in=kj,
+                    )
+                    first = False
+                    if device_in and bi % 2 == 1:
+                        # bound async queue depth: without a sync, XLA keeps
+                        # several batches' sort/align transients alive at
+                        # once and OOMs
+                        float(jnp.sum(bufs[0][:1]))
+                tw = _trs(
+                    f"  F={geom.F} win@{xt0} batches ({wn} rows)", tw
                 )
-                first = False
-                if device_in and bi % 2 == 1:
-                    # bound async queue depth: without a sync, XLA keeps
-                    # several batches' sort/align transients alive at once
-                    # and OOMs
-                    float(jnp.sum(bufs[0][:1]))
 
-            if device_in and n:
+            if device_in and not first:
                 # drain the batch pipeline before enqueueing the combine:
                 # the last batches' sort/align transients must be freed
                 # first, or they coexist with the combine's grid-sized
                 # buffers and OOM at 1024^3
                 float(jnp.sum(bufs[0][:1]))
             if xwin is None:
-                vol = _unpack_tiles(*bufs, grid3, vol, _fold_geom(geom))
+                vol = _unpack_tiles(*bufs, grid3, vol, fgeom)
             else:
                 vol, carry = _unpack_tiles(
-                    *bufs, grid3, vol, _fold_geom(geom), xwin[1], carry,
+                    *bufs, grid3, vol, fgeom, xwin[1], carry,
                     carry_out=True, xt0=jnp.int32(xwin[0]),
                 )
+            tw = _trs(f"group F={fgeom.F} win@{xt0} unpack", tw,
+                      vol if _TRACE else None)
         return vol
 
-    vol = None
+    # group buckets by folded tile geometry: members of a group share one
+    # tile set, one zero pass and one grid combine per x-window
+    groups: list[list[int]] = []
     for bi, geom in enumerate(BUCKETS):
-        if device_in:
-            if counts[bi] == 0:
-                continue
-            if vol is not None:
-                # free the previous bucket's tile buffers before allocating
-                # this one's (two grid-sized tile sets do not coexist)
-                float(jnp.sum(vol[:1, :1]))
-            vol = run_bucket(
-                geom, pos_c, w_c, r_c, vol, offs[bi], counts[bi],
-                key_in=key_c,
-                wtab=wtabs[bi] if wtabs is not None else None,
-                kbase=kbases[bi] if kbases is not None else 0,
-            )
+        if groups and (_fold_geom(BUCKETS[groups[-1][0]]).YTILE,
+                       _fold_geom(BUCKETS[groups[-1][0]]).HALO) == (
+                           geom.YTILE, geom.HALO):
+            groups[-1].append(bi)
         else:
-            m = cls_h == bi
-            if not m.any():
-                continue
-            vol = run_bucket(geom, positions[m], weights[m], rpx_h[m], vol)
+            groups.append([bi])
+
+    vol = None
+    tb = time.time()
+    for gidx in groups:
+        jobs = []
+        for bi in gidx:
+            geom = BUCKETS[bi]
+            if device_in:
+                if counts[bi] == 0:
+                    continue
+                jobs.append({
+                    "geom": geom, "p_in": pos_c, "w_in": w_c, "r_in": r_c,
+                    "off": offs[bi], "cnt": counts[bi], "key_in": key_c,
+                    "wtab": wtabs[bi] if wtabs is not None else None,
+                    "kbase": kbases[bi] if kbases is not None else 0,
+                })
+            else:
+                msk = cls_h == bi
+                if not msk.any():
+                    continue
+                jobs.append({
+                    "geom": geom, "p_in": positions[msk],
+                    "w_in": weights[msk], "r_in": rpx_h[msk],
+                    "off": 0, "cnt": None, "key_in": None, "wtab": None,
+                    "kbase": 0,
+                })
+        if not jobs:
+            continue
+        if device_in and vol is not None:
+            # free the previous group's tile buffers before allocating
+            # this one's (two grid-sized tile sets do not coexist)
+            float(jnp.sum(vol[:1, :1]))
+        tb = _trs(
+            "group start (F="
+            + ",".join(str(j["geom"].F) for j in jobs) + ")", tb,
+        )
+        vol = run_group(jobs, vol)
     if vol is None:
         vol = jnp.zeros((gx, gy, gz), jnp.float32)
 
@@ -1480,11 +1579,14 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
             cnt_pad = chunk
             while cnt_pad < tail:
                 cnt_pad *= 2
+            tb = _trs(f"dense tail start (n_huge={n_huge}, pad={cnt_pad})",
+                      tb)
             vol = _dense_tail(
                 pos_c, w_c, r_c, vol, offs[-1],
                 jnp.float32(1.0 if key_c is not None else pixels_per_unit),
                 cnt_pad, (gx, gy, gz), hw, subsample,
             )
+            tb = _trs("dense tail", tb, vol if _TRACE else None)
         else:
             vol = splat_volume_dense(
                 positions[huge] * pixels_per_unit, weights[huge],
