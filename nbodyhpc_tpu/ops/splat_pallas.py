@@ -113,14 +113,24 @@ class _Geom(NamedTuple):
     # pairs per deposit grid step. The kernel body unrolls CH // P groups
     # of [F*F, 128] vector ops, so Mosaic compile time scales with
     # CH/P * F^2 * FL: at F=32 the default 256 produced a ~30+ minute
-    # remote compile (the round-2 "wedge"); 128 halves it. Must stay a
-    # multiple of 128 — the align kernel's DMA segment starts are rounded
-    # to CH and Mosaic minor-dim DMA offsets must be 128-aligned.
+    # remote compile (the round-2 "wedge"); 128 halves it. Must be a
+    # multiple of BOTH 128 (the align kernel's DMA segment starts are
+    # rounded to CH and Mosaic minor-dim DMA offsets must be 128-aligned)
+    # and P (whole lane-packed groups per chunk).
     CH: int = 256
+    # particles per lane-packed group. 0 = the classic full packing
+    # 128 // FL (requires 128 % FL == 0). An explicit PP decouples the
+    # lane stride from the pow2 constraint: e.g. F = FL = 10, PP = 12
+    # packs 12 particles x 10 exact lanes (lanes 120-127 dead, zero
+    # attrs) instead of 8 particles x 16 lanes with 6 masked slots each —
+    # per-particle VPU work is F^2 * (128 / P), so exact strides buy back
+    # the 25-37% masked-lane waste of the pow2 strides. Requires
+    # PP * FL <= 128 and PP | CH.
+    PP: int = 0
 
     @property
-    def P(self):  # particles per lane-packed group (128 lanes / FL slots)
-        return 128 // self.FL
+    def P(self):  # particles per lane-packed group
+        return self.PP if self.PP else 128 // self.FL
 
     @property
     def XSLOTS(self):
@@ -133,16 +143,22 @@ class _Geom(NamedTuple):
 
 # The radius ladder. Window F must cover the reference's point size
 # 2*ceil(r) + 2 (triangle.vert:43-44,63), so bucket b covers
-# r <= F/2 - 1; per-particle VPU work scales with F^2 * FL, so finer rungs
-# pay off wherever the radius distribution concentrates. FL is 8, 16, or
-# 32 (128 % FL == 0 and FL | CHUNK); buckets with equal (FL, YTILE, HALO)
-# share tile-buffer shapes and combine programs. Sub-pixel particles
+# r <= F/2 - 1; per-particle VPU work scales with F^2 * (128 / P), so
+# finer rungs pay off wherever the radius distribution concentrates.
+# G6/G10/G12 use EXACT lane strides (FL = F) with an explicit particle
+# count PP (see _Geom.PP) — the pow2 strides wasted 25-37% of their
+# lanes on masked window slots; G8/G16/G32 have pow2 F and keep the full
+# 128//FL packing. Buckets with equal (YTILE, HALO) share tile-buffer
+# shapes and combine programs regardless of FL. Sub-pixel particles
 # (r < 0.5) ride the first bucket. Radii above the last rung take the
 # dense large-radius pass (ops/splat_dense.py).
-G6 = _Geom(F=6, FL=8, YTILE=120, HALO=8, RMIN=-1.0, RMAX=2.0)
+G6 = _Geom(F=6, FL=6, YTILE=120, HALO=8, RMIN=-1.0, RMAX=2.0,
+           CH=640, PP=20)
 G8 = _Geom(F=8, FL=8, YTILE=120, HALO=8, RMIN=2.0, RMAX=3.0)
-G10 = _Geom(F=10, FL=16, YTILE=112, HALO=16, RMIN=3.0, RMAX=4.0)
-G12 = _Geom(F=12, FL=16, YTILE=112, HALO=16, RMIN=4.0, RMAX=5.0)
+G10 = _Geom(F=10, FL=10, YTILE=112, HALO=16, RMIN=3.0, RMAX=4.0,
+            CH=384, PP=12)
+G12 = _Geom(F=12, FL=12, YTILE=112, HALO=16, RMIN=4.0, RMAX=5.0,
+            CH=640, PP=10)
 G16 = _Geom(F=16, FL=16, YTILE=112, HALO=16, RMIN=5.0, RMAX=7.0)
 G32 = _Geom(F=32, FL=32, YTILE=96, HALO=32, RMIN=7.0, RMAX=15.0, CH=128)
 BUCKETS = (G6, G8, G10, G12, G16, G32)
@@ -271,6 +287,8 @@ def _deposit_kernel(tilei_ref, attrs_ref, _outin, _hxin, _hzin, _hcin,
                 # directly; Mosaic compiles the dots as written, so the real
                 # TPU path below stays bit-exact (verified on device).
                 aexp = jnp.repeat(a16, FL, axis=1)
+                if P * FL < 128:  # dead tail lanes past the last particle
+                    aexp = jnp.pad(aexp, ((0, 0), (0, 128 - P * FL)))
             else:
                 # exact f32 lane expansion via bf16x3 one-hot matmul (MXU
                 # truncates inputs to bf16; three exact pieces reconstruct in
