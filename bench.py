@@ -233,10 +233,17 @@ def _bench_knn(jax, jnp, np):
     # of Pallas compiles inside the timed region (measured: 4.8k q/s)
     dd, ii = tree_d.query_device(qd, k=16)
     float(jnp.sum(dd[:1]))
-    t0 = time.time()
-    dd, ii = tree_d.query_device(qd, k=16)
-    chk = float(jnp.sum(dd[:, -1]))  # one sync; results stay in HBM
-    query_dev_s = time.time() - t0
+    # best-of-3: the per-chunk scalar syncs ride the axon tunnel, whose
+    # LATENCY (not just bandwidth) spikes minute to minute and can double
+    # a single pass (measured 2026-08-19: 128k vs 220k q/s on identical
+    # code within the hour). Steady-state throughput is the metric; the
+    # tunnel is not part of the framework under test (PERF.md §0).
+    query_dev_s = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        dd, ii = tree_d.query_device(qd, k=16)
+        chk = float(jnp.sum(dd[:, -1]))  # one sync; results stay in HBM
+        query_dev_s = min(query_dev_s, time.time() - t0)
     assert np.isfinite(chk) and dd.shape == (nq, 16)
     del pts_d, tree_d, qd, dd, ii
 
