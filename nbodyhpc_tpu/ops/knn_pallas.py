@@ -56,13 +56,21 @@ def _start_run_dmas(runs_ref, xyz_ref, cand, sems):
                 ).start()
 
 
-def _run_distances(runs_ref, xyz_ref, cand, sems, q, r,
+def _run_distances(runs_ref, xyz_ref, cand, sems, q, masks, r,
                    periodic: bool, box):
     """[QB, RCAP] squared distances from run slot ``r`` of each query's own
-    piece (inf outside the run / for pad queries)."""
-    qx, qy, qz, qg = q
+    piece (inf outside the run / for pad queries).
+
+    Row-selects each piece's candidate COORDINATES into one [QB, RCAP]
+    lane set first (one select per piece per dim, ``masks`` precomputed
+    [QB, 1] piece-membership), then evaluates the distance ONCE. The
+    original form evaluated the full distance block per piece and selected
+    the results — G x the VPU work; the kernel was VPU-bound there
+    (PERF.md §2 roofline note)."""
+    qx, qy, qz, _ = q
     lane = jax.lax.broadcasted_iota(jnp.int32, (QB, RCAP), 1)
-    acc = jnp.full((QB, RCAP), jnp.inf, jnp.float32)
+    cxyz = None
+    lnrow = jnp.zeros((QB, 1), jnp.int32)
     for g in range(G):
         ln = runs_ref[0, g, NRUNS + r]
 
@@ -81,20 +89,32 @@ def _run_distances(runs_ref, xyz_ref, cand, sems, q, r,
             cand[g * NRUNS + r], jax.lax.rem(RFETCH - shift, RFETCH),
             axis=1,
         )
-        d2 = jnp.zeros((QB, RCAP), jnp.float32)
-        for dim, qd in ((0, qx), (1, qy), (2, qz)):
-            d = qd - rolled[dim, :RCAP][None, :]
-            if periodic:
-                d = _wrap_min_image(d, float(box[dim]))
-            d2 = d2 + d * d
-        val = jnp.where(lane < ln, d2, jnp.inf)
-        acc = jnp.where(qg == float(g), val, acc)
-    return acc
+        rows = tuple(rolled[dim, :RCAP][None, :] for dim in range(3))
+        if cxyz is None:
+            cxyz = tuple(jnp.broadcast_to(rw, (QB, RCAP)) for rw in rows)
+        else:
+            cxyz = tuple(jnp.where(masks[g], rw, cur)
+                         for rw, cur in zip(rows, cxyz))
+        lnrow = jnp.where(masks[g], ln, lnrow)
+
+    d2 = jnp.zeros((QB, RCAP), jnp.float32)
+    for dim, qd in ((0, qx), (1, qy), (2, qz)):
+        d = qd - cxyz[dim]
+        if periodic:
+            d = _wrap_min_image(d, float(box[dim]))
+        d2 = d2 + d * d
+    return jnp.where(lane < lnrow, d2, jnp.inf)
 
 
 def _q_columns(q_ref):
     return (q_ref[0, :, 0:1], q_ref[0, :, 1:2], q_ref[0, :, 2:3],
             q_ref[0, :, 3:4])  # piece id; pad slots carry -1: no piece
+
+
+def _piece_masks(qg):
+    """[QB, 1] piece-membership mask per piece slot, hoisted across all
+    NRUNS run slots (pad rows carry -1 and match none)."""
+    return tuple(qg == float(g) for g in range(G))
 
 
 def _knn_kernel(runs_ref, q_ref, xyz_ref, out_ref, cand, sems,
@@ -108,9 +128,10 @@ def _knn_kernel(runs_ref, q_ref, xyz_ref, out_ref, cand, sems,
     # cand: VMEM [G*NRUNS, 4, RFETCH]; sems: DMA[G*NRUNS]
     _start_run_dmas(runs_ref, xyz_ref, cand, sems)
     q = _q_columns(q_ref)
+    masks = _piece_masks(q[3])
     for r in range(NRUNS):
         out_ref[0, :, r * RCAP : (r + 1) * RCAP] = _run_distances(
-            runs_ref, xyz_ref, cand, sems, q, r, periodic, box
+            runs_ref, xyz_ref, cand, sems, q, masks, r, periodic, box
         )
 
 
@@ -132,9 +153,10 @@ def _knn_topk_kernel(runs_ref, q_ref, xyz_ref, dk_ref, sk_ref, cand, dblk,
     """
     _start_run_dmas(runs_ref, xyz_ref, cand, sems)
     q = _q_columns(q_ref)
+    masks = _piece_masks(q[3])
     for r in range(NRUNS):
         dblk[:, r * RCAP : (r + 1) * RCAP] = _run_distances(
-            runs_ref, xyz_ref, cand, sems, q, r, periodic, box
+            runs_ref, xyz_ref, cand, sems, q, masks, r, periodic, box
         )
 
     lanes = jax.lax.broadcasted_iota(jnp.int32, (QB, NCAND), 1)
