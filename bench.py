@@ -1,6 +1,19 @@
 """Headline benchmark: variable-radius sphere-splat rasterization on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Prints the headline JSON line IMMEDIATELY after the timed render, then (budget
+permitting) a second superset line with the k-NN fields. The driver records the
+tail of stdout, so the last complete line wins; if the k-NN section is skipped
+or dies, the splat-only line is already on the wire.
+
+Wall-clock discipline (round 3): the driver kills the bench at ~600 s. Round
+2's artifact was rc=124 with `parsed: null` because pre-timed-region overhead
+(cold compiles + tunnel weather) ate the whole budget before the first JSON
+byte. This version (a) takes a budget from env `BENCH_BUDGET_S` (default 540),
+(b) drops the small-slice warmup render entirely (it compiled 131072-particle
+programs the full render never reuses — 124 s of pure waste in r02), (c) emits
+the headline line the moment it exists, (d) arms a watchdog that cleanly
+exits 0 at the budget once the headline is out, and (e) only enters the k-NN
+section when enough budget remains.
 
 Baseline (BASELINE.md): the reference Vulkan rasterizer deposits a CAMELS
 snapshot of 1.68e7 particles into a 1024^3 grid (16 samples/voxel) in ~2.5 s
@@ -14,22 +27,23 @@ rasterization/README.md:27-31): the tail runs through the 16^3 Pallas bucket
 ((3, 7] px) and into the dense large-radius pass (> 7 px), so every radius
 class the framework serves is inside the timed region — no radius gaming.
 
-mass_ratio: the deposition semantics themselves (subcell-center counting /
+mass audit: the deposition semantics themselves (subcell-center counting /
 exact sphere volume, reference triangle.frag:25-45 + triangle.vert:41-45)
 deposit slightly under w per particle at small radii — measured 0.9983 for
-the ORACLE alone on this exact distribution (PERF.md), so a headline
-mass_ratio ~0.998 is deposition quantization shared with the reference, not
-dropped particles. mass_ratio_expected reports the quantization predicted by
-the un-gridded footprint integral on a device-evaluated sample, making the
-attribution part of the bench artifact.
+the ORACLE alone on this exact distribution (PERF.md). The bench computes
+mass_ratio_expected from the un-gridded footprint integral on a
+device-evaluated sample and HARD-FAILS if the rendered mass_ratio deviates
+from it by more than the sampling tolerance — asserting the physics, not just
+finiteness (reference analog: rasterizer main.cpp:124-131 mass ratio report).
 
 Secondary k-NN metric (BENCH_KNN=0 skips): the PERF.md §2 workload — 1e7-
 point tree build + 5e5 self-queries k=16, both device-resident and
 end-to-end through the public KDTree API (reference harness:
 kdtree/src/cpp/main.cpp:130-174; measured reference-binary baseline on
 this host's 1-core Xeon: 165,959 qps periodic, build 0.86 s — BASELINE.md,
-measured 2026-08-18). End-to-end numbers ride the axon tunnel, whose
-bandwidth swings 2-4x day to day, so the artifact includes its own
+measured 2026-08-18). Self-queries assert d(p, p) == 0 exactly, like the
+reference harness (main.cpp:51-93). End-to-end numbers ride the axon tunnel,
+whose bandwidth swings 2-4x day to day, so the artifact includes its own
 control: ``tunnel_h2d_mbs`` times a raw 50 MB upload immediately before
 the kNN runs. Never interpret knn_qps_e2e without it; ``knn_vs_ref``
 scores the device-resident disposition against the reference binary.
@@ -37,15 +51,42 @@ scores the device-resident disposition against the reference binary.
 import json
 import os
 import sys
+import threading
 import time
 
 REF_PARTICLES_PER_S = 1.68e7 / 2.5
 
 _T0 = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 540))
+
+
+def _remaining():
+    return BUDGET_S - (time.time() - _T0)
 
 
 def _stamp(msg):
     print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _emit(result):
+    print(json.dumps(result), flush=True)
+
+
+def _arm_watchdog():
+    """Exit 0 cleanly at the budget — the headline line is already printed.
+
+    A blocked jax call (remote Mosaic compile riding tunnel weather) cannot
+    be interrupted from Python; os._exit from a daemon timer is the only
+    reliable way to beat the driver's SIGKILL and keep rc == 0.
+    """
+
+    def _bail():
+        _stamp(f"watchdog: budget {BUDGET_S:.0f}s exhausted, exiting with headline")
+        os._exit(0)
+
+    t = threading.Timer(max(_remaining() - 5.0, 1.0), _bail)
+    t.daemon = True
+    t.start()
 
 
 def main():
@@ -127,16 +168,12 @@ def main():
         vol = splat_pallas.splat_volume(p, None, None, ppu, gshape)
         return float(jnp.sum(vol))
 
-    # warm up / compile on a small slice, then one full pass so the
-    # full-shape programs are compiled (persistent cache) before timing
-    _stamp("warmup: small-slice render (compiles)")
-    small = splat_pallas.prepartition(
-        part.pos_px[:131072], part.w[:131072], part.rpx[:131072], 1.0,
-        gshape,
-    )
-    render(small)
-    del small
-    _stamp("warmup: full render")
+    # One full-shape warmup pass: compiles (or deserializes from the
+    # persistent cache) every program the timed render runs. A small-slice
+    # warmup is useless here — splat_volume streams fixed 8e6 batches, so a
+    # small input compiles programs the full render never reuses (it cost
+    # 124 s of the r02 budget for nothing).
+    _stamp(f"warmup: full render (budget left {_remaining():.0f}s)")
     render(part)
 
     _stamp("timed render")
@@ -170,6 +207,16 @@ def main():
     mass_ratio_expected = dep / float(ns)
 
     mass_ratio = total / float(n)  # unit weights: input mass == n
+    # Physics gate (reference main.cpp:124-131): the rendered mass ratio
+    # must match the footprint-integral prediction. 8192 samples of a
+    # lognormal-radius population predict the population ratio to ~1e-3;
+    # real mass loss (dropped particles, clipped windows) is >> that.
+    mass_err = abs(mass_ratio - mass_ratio_expected)
+    if not (np.isfinite(total) and mass_err < 3e-3):
+        raise AssertionError(
+            f"mass conservation violated: rendered ratio {mass_ratio:.6f} vs "
+            f"expected quantization {mass_ratio_expected:.6f} (|err| {mass_err:.2e})"
+        )
     pps = n / elapsed
     result = {
         "metric": f"splat_{n:.0e}_particles_{grid}^3_periodic",
@@ -183,10 +230,18 @@ def main():
         "pct_mid_bucket": round(pct_mid, 3),
         "pct_dense_tail": round(pct_huge, 4),
     }
+    # headline on the wire FIRST — nothing after this point can lose it
+    _emit(result)
+    _arm_watchdog()
 
-    if os.environ.get("BENCH_KNN", "1") != "0":
+    knn_min_s = float(os.environ.get("BENCH_KNN_MIN_S", 120))
+    if os.environ.get("BENCH_KNN", "1") == "0":
+        _stamp("kNN section disabled (BENCH_KNN=0)")
+    elif _remaining() < knn_min_s:
+        _stamp(f"kNN section SKIPPED: {_remaining():.0f}s left < {knn_min_s:.0f}s")
+    else:
         del part  # free HBM before the kNN workload
-        _stamp("kNN workload")
+        _stamp(f"kNN workload (budget left {_remaining():.0f}s)")
         # the kNN metrics are secondary: never let a failure there take
         # the headline splat line down with it
         try:
@@ -194,9 +249,9 @@ def main():
         except Exception as e:  # noqa: BLE001 — recorded, not swallowed
             _stamp(f"kNN workload FAILED: {type(e).__name__}: {e}")
             result["knn_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+        # superset line — supersedes the splat-only line in the tail
+        _emit(result)
     _stamp("done")
-
-    print(json.dumps(result))
 
 
 def _bench_knn(jax, jnp, np):
@@ -244,7 +299,12 @@ def _bench_knn(jax, jnp, np):
         dd, ii = tree_d.query_device(qd, k=16)
         chk = float(jnp.sum(dd[:, -1]))  # one sync; results stay in HBM
         query_dev_s = min(query_dev_s, time.time() - t0)
+        if _remaining() < 60:
+            break
     assert np.isfinite(chk) and dd.shape == (nq, 16)
+    # self-query exactness: d(p, p) == 0.0, bit-exact, like the reference
+    # harness (kdtree/src/cpp/main.cpp:51-93)
+    assert float(jnp.max(dd[:, 0])) == 0.0, "self-query nearest distance != 0"
     del pts_d, tree_d, qd, dd, ii
 
     # --- end-to-end numpy workload with tunnel control ---
@@ -266,7 +326,8 @@ def _bench_knn(jax, jnp, np):
     t0 = time.time()
     d, i = tree.query(q, k=16)
     query_s = time.time() - t0
-    assert d.shape == (nq, 16) and float(np.max(d[:, 0])) < 1.0
+    assert d.shape == (nq, 16)
+    assert float(np.max(d[:, 0])) == 0.0, "self-query nearest distance != 0"
     return {
         "knn_qps_device": round(nq / query_dev_s, 1),
         "knn_build_s_device": round(build_dev_s, 2),

@@ -41,9 +41,12 @@ class CellList:
         Points sorted by raveled cell id; padding columns hold ``PAD_SENTINEL``.
     index : (Npad,) uint32
         Original point index for each sorted slot; padding slots hold ``n``.
-    offsets : (ncells + 1,) int32
+    offsets : (ncells + 1,) int32 or None
         ``offsets[c]:offsets[c+1]`` is the sorted range of points in cell ``c``
-        (row-major ravel of the 3D cell coordinate).
+        (row-major ravel of the 3D cell coordinate). ``None`` after a device
+        build (the host copy is a multi-MB D2H that only the host-prep query
+        path needs — ``offsets_host()`` materializes it lazily; the device
+        array lives in ``dev[2]``).
     dims : (3,) int — cells per dimension.
     lo : (3,) float32 — lower corner of the binning box.
     cell_size : (3,) float32 — cell edge length per dimension.
@@ -87,6 +90,16 @@ class CellList:
             int(self.xyz.shape[1]),
         )
 
+    def offsets_host(self) -> np.ndarray:
+        """Host copy of the per-cell offset table (cached). The device build
+        leaves ``offsets`` unmaterialized — at 1e7 points the (ncells+1)
+        int32 table is ~5 MB of D2H that rides the axon tunnel (up to
+        seconds in bad weather) and only the host block-prep path
+        (ops/knn_pallas.build_blocks) reads it."""
+        if self.offsets is None:
+            self.offsets = np.asarray(self.dev[2])
+        return self.offsets
+
     def index_host(self) -> np.ndarray:
         """Host copy of the slot->original-index map (cached; the device
         build keeps ``index`` on-device to avoid an eager 4B/point transfer)."""
@@ -122,12 +135,30 @@ def cell_coords(points: np.ndarray, lo, inv_h, dims, periodic: bool) -> np.ndarr
 def _device_sort_build(points_f32, lo, inv_h, dims, periodic, npad, n):
     """Device-side build core: cell ids -> multi-operand sort (payloads ride
     the comparator network; no gathers) -> offsets via vectorized binary
-    search. Returns (xyz (4, npad), index (npad,) uint32, offsets
-    (ncells+1,) int32, max_cell_count scalar)."""
+    search. ONE jitted program (per (dims, periodic, npad, n) shape class):
+    eager per-op dispatch pays a tunnel round of latency ~15 times over and
+    XLA cannot fuse the pad/concat chain into the sort operands.
+    Returns (xyz (4, npad), index (npad,) uint32, offsets (ncells+1,) int32,
+    max_cell_count scalar) — all device arrays, nothing synced."""
+    import functools
+
+    import jax
+
+    core = functools.partial(
+        _sort_build_core,
+        dims=tuple(int(v) for v in dims),
+        periodic=bool(periodic),
+        npad=int(npad),
+        n=int(n),
+    )
+    return jax.jit(core)(points_f32, lo, inv_h)
+
+
+def _sort_build_core(points_f32, lo, inv_h, *, dims, periodic, npad, n):
     import jax
     import jax.numpy as jnp
 
-    Cx, Cy, Cz = (int(v) for v in dims)
+    Cx, Cy, Cz = dims
     ncells = Cx * Cy * Cz
     lo_j = jnp.asarray(lo, jnp.float32)
     ih_j = jnp.asarray(inv_h, jnp.float32)
@@ -252,11 +283,13 @@ def build_cell_list(
         xyz_d, index_d, offsets_d, mcc = _device_sort_build(
             jnp.asarray(points), lo, inv_h, dims, periodic, npad, n
         )
-        offsets = np.asarray(offsets_d)
+        # the ONLY host sync in the device build: one scalar (sizes the
+        # static query budgets). The full offsets table stays on device;
+        # offsets_host() materializes it if the host-prep path asks.
         return CellList(
             xyz=xyz_d,
             index=index_d,
-            offsets=offsets,
+            offsets=None,
             dims=dims,
             lo=lo,
             cell_size=h,

@@ -263,7 +263,7 @@ def build_blocks(tree, queries_w, qcell):
     """
     dims = np.asarray(tree.dims).astype(np.int64)
     Cx, Cy, Cz = (int(v) for v in dims)
-    offsets = tree.offsets
+    offsets = tree.offsets_host()
     npad = tree.xyz.shape[1]
     periodic = tree.periodic
 

@@ -254,7 +254,8 @@ def test_device_build_matches_host_build():
     th = build_cell_list(pts, device=False)
     td = build_cell_list(pts, device=True)
     assert td.dev is not None
-    np.testing.assert_array_equal(np.asarray(td.offsets), th.offsets)
+    assert td.offsets is None  # device build defers the offsets D2H
+    np.testing.assert_array_equal(td.offsets_host(), th.offsets)
     np.testing.assert_array_equal(np.asarray(td.xyz)[:3, : td.n], th.xyz[:3, : th.n])
     np.testing.assert_array_equal(np.asarray(td.index)[: td.n], th.index[: th.n])
     assert td.max_cell_count == th.max_cell_count
