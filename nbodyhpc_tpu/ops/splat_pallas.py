@@ -934,19 +934,34 @@ def _dispatch_batch(geom, ppj, wj, rj, grid, np_pad, bufs, accumulate,
 
 
 def splat_volume_traced_engine(ppx, w, rpx, grid, subsample: int = 4,
-                               interpret: bool = False, buckets=(G6, G8)):
-    """Fully-traced engine pipeline: one dispatch, no host control flow.
+                               interpret: bool = False, buckets=(G6, G8),
+                               batch: int | None = None):
+    """Fully-traced engine pipeline: fixed dispatch count, no host control
+    flow.
 
     Takes pixel-space positions/radii and renders the same field as
     :func:`splat_volume` (for radii within ``buckets``' coverage) in a form
     that can be traced inside ``shard_map`` bodies — this is what the
-    z-slab-sharded renderer runs per device (parallel/sharded.py). The whole
-    particle set is processed as ONE batch per bucket; callers stream truly
-    huge per-device sets through :func:`splat_volume` instead.
+    z-slab-sharded renderer runs per device (parallel/sharded.py).
+
+    ``batch`` bounds the per-dispatch working set: the particle set is
+    streamed through each bucket's shared tile buffers in static
+    ``batch``-row slices (accumulating deposits, one combine per bucket),
+    the traced analog of :func:`splat_volume`'s batch loop and of the
+    reference's memory-bounding slice streaming (reference
+    point_renderer.cpp:864-946). The sort/align transients then scale with
+    ``batch`` instead of the whole per-device particle count. ``None``
+    keeps the single-batch form.
     """
     grid = tuple(int(v) for v in grid)
     n = ppx.shape[0]
-    n_pad = (n + 127) // 128 * 128
+    if batch is None or batch >= n:
+        step = max((n + 127) // 128 * 128, 128)
+    else:
+        step = max((int(batch) + 127) // 128 * 128, 128)
+    # pad to a whole number of uniform batches: every dispatch shares one
+    # compiled program per bucket
+    n_pad = max(-(-n // step), 1) * step
     if n_pad > n:
         ppx = jnp.concatenate(
             [ppx, jnp.zeros((n_pad - n, 3), jnp.float32)], axis=0
@@ -957,12 +972,34 @@ def splat_volume_traced_engine(ppx, w, rpx, grid, subsample: int = 4,
     vol = None
     for geom in buckets:
         ntiles = _ntiles(grid, geom)
-        need = n_pad + geom.CH * ntiles + ACHUNK + geom.CH
+        need = step + geom.CH * ntiles + ACHUNK + geom.CH
         np_pad = (need + ACHUNK - 1) // ACHUNK * ACHUNK
-        bufs = _dispatch_batch(
-            geom, ppx, w, rpx, grid, np_pad, _zero_bufs(ntiles, geom),
-            accumulate=False, subsample=subsample, interpret=interpret,
-        )
+        bufs = _zero_bufs(ntiles, geom)
+        nb = n_pad // step
+        if nb == 1:
+            bufs = _dispatch_batch(
+                geom, ppx, w, rpx, grid, np_pad, bufs, accumulate=False,
+                subsample=subsample, interpret=interpret,
+            )
+        else:
+            # lax.scan over uniform batches: ONE compiled dispatch body per
+            # bucket however many batches stream through (a Python loop
+            # would grow the traced graph — and the XLA:CPU test-mesh
+            # compile time — linearly with the batch count). Accumulating
+            # into zeroed buffers from the first batch is exactly the
+            # write-fresh dispatch.
+            def step_fn(carry, sl):
+                p, ww, rr = sl
+                return _dispatch_batch(
+                    geom, p, ww, rr, grid, np_pad, carry, accumulate=True,
+                    subsample=subsample, interpret=interpret,
+                ), None
+
+            bufs, _ = jax.lax.scan(
+                step_fn, bufs,
+                (ppx.reshape(nb, step, 3), w.reshape(nb, step),
+                 rpx.reshape(nb, step)),
+            )
         vol = _unpack_tiles(*bufs, grid, vol, _fold_geom(geom))
     return vol
 

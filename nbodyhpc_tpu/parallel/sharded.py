@@ -26,7 +26,10 @@ from ..core.cells import CellList
 from ..core.points import round_up
 from ..ops import knn as _knn
 from ..ops import splat_pallas as _splat
-from ..ops.ghosts import augment_points_periodic
+from ..ops.ghosts import (
+    augment_points_periodic,
+    augment_points_periodic_device,
+)
 from ..ops.splat_dense import (
     _default_chunk,
     dense_halfwidth,
@@ -58,7 +61,8 @@ def _band_select(arrs, mask, cap):
 
 
 def _render_shard_fn(gx, gy, gz_loc, subsample, cap, axis,
-                     buckets, hops=1, dense_hw=None, huge_cap=0):
+                     buckets, hops=1, dense_hw=None, huge_cap=0,
+                     batch=None):
     """Per-device slab renderer with ppermute halo exchange.
 
     The slab is rendered by the production Pallas engine
@@ -137,7 +141,7 @@ def _render_shard_fn(gx, gy, gz_loc, subsample, cap, axis,
         local = all_p - jnp.asarray([0.0, 0.0, 1.0]) * z0
         dens = _splat.splat_volume_traced_engine(
             local, all_w, all_r, (gx, gy, gz_loc), subsample,
-            interpret=interpret, buckets=buckets,
+            interpret=interpret, buckets=buckets, batch=batch,
         )
         dens = dens.reshape(gx, gy, gz_loc)
         if dense_hw is not None and huge_cap > 0:
@@ -171,6 +175,43 @@ def _render_shard_fn(gx, gy, gz_loc, subsample, cap, axis,
     return f
 
 
+def _partition_slabs_device(ppx, weights, rpx, gz_loc, nd):
+    """Device-side slab partition: one stable multi-operand sort lays the
+    particles out as (nd, nloc) with zero-weight pad rows at each slab's
+    tail — no host pass over the particles, no gather/scatter.
+
+    Pad rows are appended AFTER the real rows and keyed by the slab that
+    needs them (``searchsorted`` over the per-slab pad budget), so one
+    stable sort by slab id places every slab's reals first, pads last.
+    The only host syncs are the per-slab counts ((nd,) int32, sizes
+    ``nloc``).
+    """
+    import jax.numpy as jnp
+
+    n = ppx.shape[0]
+    slab = jnp.clip(
+        jnp.floor(ppx[:, 2] / gz_loc).astype(jnp.int32), 0, nd - 1
+    )
+    counts = np.asarray(jnp.bincount(slab, length=nd))
+    nloc = round_up(max(int(counts.max()), 1), 256)
+    npads = nd * nloc - n
+    pad_cum = jnp.cumsum(jnp.asarray(nloc - counts, jnp.int32))
+    pad_slab = jnp.searchsorted(
+        pad_cum, jnp.arange(npads, dtype=jnp.int32), side="right"
+    ).astype(jnp.int32)
+    key = jnp.concatenate([slab, pad_slab])
+    px = jnp.concatenate([ppx[:, 0], jnp.zeros(npads, jnp.float32)])
+    py = jnp.concatenate([ppx[:, 1], jnp.zeros(npads, jnp.float32)])
+    pz = jnp.concatenate([ppx[:, 2], jnp.zeros(npads, jnp.float32)])
+    ws = jnp.concatenate([weights, jnp.zeros(npads, jnp.float32)])
+    rs = jnp.concatenate([rpx, jnp.ones(npads, jnp.float32)])
+    _, px, py, pz, ws, rs = jax.lax.sort(
+        (key, px, py, pz, ws, rs), num_keys=1, is_stable=True
+    )
+    p_sh = jnp.stack([px, py, pz], axis=-1).reshape(nd, nloc, 3)
+    return p_sh, ws.reshape(nd, nloc), rs.reshape(nd, nloc), nloc
+
+
 def render_points_volume_sharded(
     positions,
     weights,
@@ -181,6 +222,7 @@ def render_points_volume_sharded(
     mesh: Mesh | None = None,
     subsample: int = 4,
     band_cap: int | None = None,
+    batch: int | None = None,
 ) -> Tuple[np.ndarray, int]:
     """Render a z-slab-sharded density volume over the mesh.
 
@@ -188,6 +230,16 @@ def render_points_volume_sharded(
     (periodic wrap via ghost augmentation). Returns (volume (gx, gy, gz),
     halo-band overflow count) — overflow must be 0 for an exact result; grow
     ``band_cap`` otherwise.
+
+    Inputs may be numpy (host partition, mirrors the reference's CPU
+    pre-processing) or device arrays (everything — ghost augmentation, slab
+    partition, the render itself — stays in HBM; the host sees only the
+    per-slab counts). ``batch`` bounds each device's per-dispatch particle
+    working set: the per-shard engine streams its slab population through
+    the tile buffers in ``batch``-row slices instead of one monolithic
+    dispatch, the memory-bounding analog of the reference's slice streaming
+    (reference point_renderer.cpp:864-946). The default streams in 4e6-row
+    slices whenever a slab's padded population exceeds that.
     """
     if mesh is None:
         mesh = make_slab_mesh()
@@ -199,9 +251,11 @@ def render_points_volume_sharded(
         raise ValueError(f"grid z ({gz}) must divide over {nd} devices")
     gz_loc = gz // nd
 
-    positions = np.ascontiguousarray(positions, np.float32)
-    weights = np.ascontiguousarray(weights, np.float32)
-    radii = np.ascontiguousarray(radii, np.float32)
+    device_in = isinstance(positions, jnp.ndarray)
+    if not device_in:
+        positions = np.ascontiguousarray(positions, np.float32)
+        weights = np.ascontiguousarray(weights, np.float32)
+        radii = np.ascontiguousarray(radii, np.float32)
 
     if periodic is True:
         period = (gx / pixels_per_unit, gy / pixels_per_unit, gz / pixels_per_unit)
@@ -210,13 +264,22 @@ def render_points_volume_sharded(
     else:
         period = tuple(float(v) for v in np.broadcast_to(periodic, (3,)))
     if any(p > 0 for p in period):
-        positions, weights, radii = augment_points_periodic(
-            positions, weights, radii, period
-        )
+        aug = (augment_points_periodic_device if device_in
+               else augment_points_periodic)
+        positions, weights, radii = aug(positions, weights, radii, period)
 
     ppx = positions * pixels_per_unit
     rpx = radii * pixels_per_unit
-    max_rpx = float(rpx.max()) if rpx.size else 0.0
+    if device_in:
+        mx, n_huge_total = jax.device_get((
+            jnp.max(rpx) if rpx.size else jnp.float32(0),
+            jnp.sum(rpx > _splat.BUCKETS[-1].RMAX, dtype=jnp.int32),
+        ))
+        max_rpx = float(mx) if rpx.size else 0.0
+        n_huge_total = int(n_huge_total)
+    else:
+        max_rpx = float(rpx.max()) if rpx.size else 0.0
+        n_huge_total = int(np.sum(rpx > _splat.BUCKETS[-1].RMAX))
     # per-shard engine: the contiguous Pallas bucket-ladder prefix covering
     # max_rpx (the exact bucket partition means a pure <= 2 px workload
     # runs only the 6^3 kernel); radii beyond the ladder's last rung run
@@ -225,35 +288,48 @@ def render_points_volume_sharded(
     buckets = _splat.bucket_ladder(max_rpx)
     if max_rpx > _splat.BUCKETS[-1].RMAX:
         dense_hw = dense_halfwidth(max_rpx)
-        n_huge_total = int(np.sum(rpx > _splat.BUCKETS[-1].RMAX))
         huge_cap = round_up(max(n_huge_total, 1), 128)
     else:
         dense_hw = None
         huge_cap = 0
 
-    # host partition into slabs by particle center
-    slab = np.clip((ppx[:, 2] // gz_loc).astype(np.int64), 0, nd - 1)
-    order = np.argsort(slab, kind="stable")
-    counts = np.bincount(slab, minlength=nd)
-    nloc = round_up(max(int(counts.max()), 1), 256)
-    p_sh = np.zeros((nd, nloc, 3), np.float32)
-    w_sh = np.zeros((nd, nloc), np.float32)
-    r_sh = np.ones((nd, nloc), np.float32)
-    off = 0
-    for d in range(nd):
-        c = int(counts[d])
-        idx = order[off : off + c]
-        p_sh[d, :c] = ppx[idx]
-        w_sh[d, :c] = weights[idx]
-        r_sh[d, :c] = rpx[idx]
-        off += c
+    if device_in:
+        p_sh, w_sh, r_sh, nloc = _partition_slabs_device(
+            ppx, weights, rpx, gz_loc, nd
+        )
+    else:
+        # host partition into slabs by particle center
+        slab = np.clip((ppx[:, 2] // gz_loc).astype(np.int64), 0, nd - 1)
+        order = np.argsort(slab, kind="stable")
+        counts = np.bincount(slab, minlength=nd)
+        nloc = round_up(max(int(counts.max()), 1), 256)
+        p_sh = np.zeros((nd, nloc, 3), np.float32)
+        w_sh = np.zeros((nd, nloc), np.float32)
+        r_sh = np.ones((nd, nloc), np.float32)
+        off = 0
+        for d in range(nd):
+            c = int(counts[d])
+            idx = order[off : off + c]
+            p_sh[d, :c] = ppx[idx]
+            w_sh[d, :c] = weights[idx]
+            r_sh[d, :c] = rpx[idx]
+            off += c
 
     if band_cap is None:
-        band_cap = max(256, round_up(nloc // 4, 256))
+        # expected crossing fraction under a uniform-z population: a
+        # footprint reaches max_rpx + Z_MARGIN past its center, so a slab
+        # of depth gz_loc sends ~min(1, reach/gz_loc) of its rows per
+        # direction; headroom of nloc/8 (min 256) absorbs clustering.
+        frac = min(1.0, (max_rpx + Z_MARGIN) / gz_loc)
+        band_cap = round_up(
+            min(nloc, int(frac * nloc) + max(256, nloc // 8)), 256
+        )
+    if batch is None and nloc + 2 * band_cap > 4_000_000:
+        batch = 4_000_000
 
     hops = min(nd - 1, max(1, int(np.ceil((max_rpx + Z_MARGIN) / gz_loc))))
     fn = _render_shard_fn(gx, gy, gz_loc, subsample, band_cap,
-                          axis, buckets, hops, dense_hw, huge_cap)
+                          axis, buckets, hops, dense_hw, huge_cap, batch)
     mapped = shard_map(
         fn,
         mesh=mesh,

@@ -130,6 +130,26 @@ def test_sharded_render_31px_mixed(mesh):
     np.testing.assert_allclose(vol, ref, rtol=2e-5, atol=1e-6)
 
 
+def test_sharded_render_device_inputs_streamed_batches(mesh):
+    """Device-resident inputs take the all-device path (ghost augmentation +
+    slab partition in HBM, host sees only per-slab counts), and a deliberately
+    tiny ``batch`` forces every shard through MULTIPLE accumulate dispatches
+    of the traced engine — the memory-bounded streaming the reference gets
+    from per-slice draw ranges (point_renderer.cpp:864-946)."""
+    import jax.numpy as jnp
+
+    pos, w, r = _particles(3000, 21)
+    ppu, grid = 32.0, (32, 32, 32)
+    vol, overflow = render_points_volume_sharded(
+        jnp.asarray(pos), jnp.asarray(w), jnp.asarray(r), ppu, grid,
+        periodic=True, mesh=mesh, batch=256,  # ~3000/8 + halo rows => >1 batch
+    )
+    assert overflow == 0
+    ref = render_points_volume(pos, w, r, ppu, grid, periodic=True)
+    np.testing.assert_allclose(vol, ref, rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vol).sum(), w.sum(), rtol=5e-3)
+
+
 def test_query_workers_shards_over_devices(mesh):
     """KDTree.query(workers=-1) is the reference's thread fan-out mapped to
     chips: results must equal the single-device path exactly."""
