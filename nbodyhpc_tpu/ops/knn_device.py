@@ -40,11 +40,13 @@ import os
 import time
 
 from .knn_pallas import (
+    FULLZ,
     G,
     NRUNS,
     QB,
     RCAP,
     RFETCH,
+    ZSEG,
     _kpad,
     _run_knn,
     _run_knn_topk,
@@ -159,37 +161,98 @@ def _build_static_tables(offsets, dims, periodic, npad, zseg, nseg, npair):
 
     starts = jnp.stack(starts_l, 1)  # [NSP, 36] in kernel slot order
     lens = jnp.stack(lens_l, 1)
+    return _repack_rows(starts, lens, ZSEG, npad)
 
-    # repack logical runs into RCAP-sized physical slots (identical to the
-    # host math: long runs split across consecutive slots; overflow -> flag)
-    pieces = (lens + RCAP - 1) // RCAP
+
+def _repack_rows(starts, lens, geom, npad):
+    """Repack logical (start, len) runs into ``geom.RCAP``-sized physical
+    slots (identical to the host math in knn_pallas.build_blocks: long runs
+    split across consecutive slots; more slots than geom.NR -> flag).
+    Returns (prow [N, 128] i32: s0 | plen | shift, flagged [N] bool)."""
+    NR, RCAP_ = geom.NR, geom.RCAP
+    n_rows = starts.shape[0]
+    pieces = (lens + RCAP_ - 1) // RCAP_
     total = jnp.sum(pieces, axis=1)
-    flagged = total > NRUNS
+    flagged = total > NR
     excl = jnp.cumsum(pieces, axis=1) - pieces
-    j = jnp.arange(NRUNS, dtype=jnp.int32)
+    j = jnp.arange(NR, dtype=jnp.int32)
     i_of = jnp.sum(
         (excl[:, :, None] <= j[None, None, :]).astype(jnp.int32), axis=1
     ) - 1
-    i_of = jnp.clip(i_of, 0, NRUNS - 1)
+    i_of = jnp.clip(i_of, 0, starts.shape[1] - 1)
     part = j[None, :] - jnp.take_along_axis(excl, i_of, axis=1)
-    pstart = jnp.take_along_axis(starts, i_of, axis=1) + part * RCAP
+    pstart = jnp.take_along_axis(starts, i_of, axis=1) + part * RCAP_
     plen = jnp.clip(
-        jnp.take_along_axis(lens, i_of, axis=1) - part * RCAP, 0, RCAP
+        jnp.take_along_axis(lens, i_of, axis=1) - part * RCAP_, 0, RCAP_
     )
     plen = jnp.where((j[None, :] < total[:, None]) & (part >= 0), plen, 0)
     plen = jnp.where(flagged[:, None], 0, plen)
     pstart = jnp.where(plen > 0, pstart, 0)
 
-    # DMA offsets must be 128-aligned: aligned floor + residual lane shift
-    s0 = (pstart // 128) * 128
+    # DMA offsets must be 128-aligned: aligned floor + residual lane shift.
+    # The end-of-array clamp can push shift past 127; the kernel's roll is
+    # modulo RFETCH and shift + len <= RFETCH still holds (len is bounded
+    # by the rows that remain), so lanes never wrap onto foreign rows.
+    s0 = jnp.minimum((pstart // 128) * 128, max(npad - geom.RFETCH, 0))
     shift = pstart - s0
-    s0 = jnp.minimum(s0, max(npad - RFETCH, 0))
 
-    prow = jnp.zeros((nsp, 128), jnp.int32)
-    prow = prow.at[:, :NRUNS].set(s0)
-    prow = prow.at[:, NRUNS : 2 * NRUNS].set(plen)
-    prow = prow.at[:, 2 * NRUNS : 3 * NRUNS].set(shift)
+    prow = jnp.zeros((n_rows, 128), jnp.int32)
+    prow = prow.at[:, :NR].set(s0)
+    prow = prow.at[:, NR : 2 * NR].set(plen)
+    prow = prow.at[:, 2 * NR : 3 * NR].set(shift)
     return prow, flagged
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "periodic", "npad"))
+def _build_static_tables_fullz(offsets, dims, periodic, npad):
+    """[ncol, 128] i32 run rows (+ [ncol] flagged) for the FULLZ geometry.
+
+    Piece p = cell column p = (x, y): the 27-cell neighborhoods of every
+    query in the column union to the 3x3 neighbor columns over FULL z.
+    In the z-major cell order that is, per neighbor x, ONE contiguous
+    gapless slice of the sorted point array spanning y in [y-1, y+1]
+    (a wrapped y interval splits in two) — ~3-6 large DMAs per piece
+    instead of ZSEG's ~18-36 small ones, zero dead lanes, and duplicates
+    are impossible by construction (distinct x -> disjoint slices; one
+    slice is a contiguous range). The reference's analog of this
+    exactness argument is its per-leaf full scan, kdtree_opt.hpp:105-248.
+    """
+    Cx, Cy, Cz = (int(v) for v in dims)
+    ncol = Cx * Cy
+    c = jnp.arange(ncol, dtype=jnp.int32)
+    x, y = c // Cy, c % Cy
+    starts_l, lens_l = [], []
+    for dx in (-1, 0, 1):
+        xd = x + dx
+        if periodic:
+            xd = jnp.mod(xd, Cx)
+            okx = jnp.ones((ncol,), bool)
+        else:
+            okx = (xd >= 0) & (xd < Cx)
+            xd = jnp.clip(xd, 0, Cx - 1)
+        if periodic:
+            # y window [y-1, y+1] wrapped: one segment when it fits before
+            # the seam, else two (requires Cy >= 3 — enforced by tree_plan
+            # — so the two segments never alias a column)
+            ya = jnp.mod(y - 1, Cy)
+            w1 = jnp.minimum(3, Cy - ya)
+            segs = ((ya, w1), (jnp.zeros_like(ya), 3 - w1))
+        else:
+            ya = jnp.maximum(y - 1, 0)
+            yb = jnp.minimum(y + 1, Cy - 1)
+            segs = ((ya, yb - ya + 1),
+                    (jnp.zeros_like(ya), jnp.zeros_like(ya)))
+        for ys, yw in segs:
+            use = okx & (yw > 0)
+            lo = (xd * Cy + ys) * Cz
+            hi = lo + yw * Cz
+            s = offsets[jnp.where(use, lo, 0)].astype(jnp.int32)
+            e = offsets[jnp.where(use, hi, 0)].astype(jnp.int32)
+            starts_l.append(jnp.where(use, s, 0))
+            lens_l.append(jnp.where(use, e - s, 0))
+    starts = jnp.stack(starts_l, 1)  # [ncol, 6]
+    lens = jnp.stack(lens_l, 1)
+    return _repack_rows(starts, lens, FULLZ, npad)
 
 
 def static_piece_tables(tree, tree_dev):
@@ -212,6 +275,43 @@ def static_piece_tables(tree, tree_dev):
     return tree._static_tables
 
 
+def tree_plan(tree, tree_dev):
+    """Cached per-tree kernel plan: (geom, pair, zseg, nseg, prow, flagged).
+
+    Prefers the FULLZ geometry (pieces = single full-z cell columns,
+    ~3-6 large DMAs each — the round-2 ablation found the ZSEG kernel
+    DMA-issue-bound) whenever the tree's columns fit its candidate
+    budget: the plan builds the FULLZ tables (cheap, [ncol] rows) and
+    falls back to ZSEG if more than 1% of columns overflow their
+    NR * RCAP lanes (dense trees: > ~1.4k points per column), if a
+    periodic x/y dimension has < 3 cells (wrap alias), or if the padded
+    array is shorter than one FULLZ fetch.
+    """
+    cached = getattr(tree, "_kernel_plan", None)
+    if cached is not None:
+        return cached
+    Cx, Cy, Cz = (int(v) for v in tree.dims)
+    npad = int(tree.xyz.shape[1])
+    _, _, offsets = tree_dev
+    plan = None
+    fullz_ok = npad >= FULLZ.RFETCH and (
+        not tree.periodic or (Cx >= 3 and Cy >= 3)
+    )
+    if fullz_ok:
+        prow, flagged = _build_static_tables_fullz(
+            offsets, (Cx, Cy, Cz), bool(tree.periodic), npad
+        )
+        frac = float(jnp.mean(flagged.astype(jnp.float32)))  # one sync/tree
+        if frac <= 0.01:
+            plan = (FULLZ, False, Cz, 1, prow, flagged)
+    if plan is None:
+        zseg, nseg, _, _ = piece_geometry(tree)
+        prow, flagged = static_piece_tables(tree, tree_dev)
+        plan = (ZSEG, True, zseg, nseg, prow, flagged)
+    tree._kernel_plan = plan
+    return plan
+
+
 def _seg_op(a, b):
     # segmented max-scan combiner: (value, segment-start flag)
     (va, fa), (vb, fb) = a, b
@@ -219,12 +319,15 @@ def _seg_op(a, b):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dims", "periodic", "zseg", "nseg")
+    jax.jit, static_argnames=("dims", "periodic", "zseg", "nseg", "pair")
 )
-def _stage_sort(queries, lo, h, dims, periodic, zseg, nseg):
+def _stage_sort(queries, lo, h, dims, periodic, zseg, nseg, pair=True):
     """Sort a query chunk by static piece id and segment it into dynamic
     pieces (split at QB multiples). All outputs are statically shaped
-    [CQ]; per-piece rows past ``npieces`` are inert (size 0)."""
+    [CQ]; per-piece rows past ``npieces`` are inert (size 0).
+
+    ``pair`` selects the static piece id: column pairs x z-segments for
+    the ZSEG geometry, single columns (zseg = Cz, nseg = 1) for FULLZ."""
     CQ = queries.shape[0]
     Cx, Cy, Cz = (int(v) for v in dims)
     dims_j = jnp.asarray((Cx, Cy, Cz))
@@ -241,7 +344,7 @@ def _stage_sort(queries, lo, h, dims, periodic, zseg, nseg):
     else:
         qcell = jnp.clip(qcell, 0, dims_j[None, :] - 1)
     colid = qcell[:, 0] * Cy + qcell[:, 1]
-    pid = (colid // 2) * nseg + qcell[:, 2] // zseg
+    pid = (colid // (2 if pair else 1)) * nseg + qcell[:, 2] // zseg
 
     iota = jnp.arange(CQ, dtype=jnp.int32)
     pid_s, qx, qy, qz, cx_s, cy_s, cz_s, orig = jax.lax.sort(
@@ -278,9 +381,9 @@ def _stage_sort(queries, lo, h, dims, periodic, zseg, nseg):
     return qs, qcs, orig, dpid, slot_in_piece, jnp.stack([psz, pid_c]), npieces
 
 
-@functools.partial(jax.jit, static_argnames=("nbpad",))
+@functools.partial(jax.jit, static_argnames=("nbpad", "ng"))
 def _stage_pack(qs, dpid, slot_in_piece, blk_of, slot_base, gslot, map_bg,
-                prow, nbpad):
+                prow, nbpad, ng=G):
     """Scatter queries into their packed block slots and row-gather the
     static run rows per (block, piece slot) and per query."""
     blk_q = blk_of[dpid]
@@ -296,32 +399,38 @@ def _stage_pack(qs, dpid, slot_in_piece, blk_of, slot_base, gslot, map_bg,
     mflat = map_bg.reshape(-1)
     runs = jnp.where(
         (mflat >= 0)[:, None], prow[jnp.maximum(mflat, 0)], 0
-    ).reshape(nbpad, G, 128)
+    ).reshape(nbpad, ng, 128)
     # per-query run row for the epilogue's slot decode
-    mq = mflat[blk_q * G + g_q]
+    mq = mflat[blk_q * ng + g_q]
     runs_q = jnp.where((mq >= 0)[:, None], prow[jnp.maximum(mq, 0)], 0)
     return qblk, runs, flat, runs_q
 
 
-@functools.partial(jax.jit, static_argnames=("k", "meta"))
-def _epilogue(dk, sk, flat, runs_q, qs, qcs, flag_q, index, k, meta):
+@functools.partial(jax.jit, static_argnames=("k", "meta", "geom", "zfull"))
+def _epilogue(dk, sk, flat, runs_q, qs, qcs, flag_q, index, k, meta,
+              geom=ZSEG, zfull=False):
     """Elementwise epilogue on device: decode tree slots -> global indices,
     r=1-cube box-distance convergence bound (host analog:
-    knn_pallas.query_blocks ``finish``, kdtree_impl.hpp:239-267 pruning)."""
+    knn_pallas.query_blocks ``finish``, kdtree_impl.hpp:239-267 pruning).
+
+    ``zfull`` (FULLZ geometry): the piece scanned its neighbor columns
+    over the FULL z extent, so the z face never bounds convergence —
+    strictly more queries converge than under ZSEG's z-window."""
     dims, lo, h, periodic, n = meta
+    NR, RC = geom.NR, geom.RCAP
     dk_q = dk[flat]
     sk_q = sk[flat]
-    r_of = sk_q // RCAP
-    onehot = r_of[..., None] == jnp.arange(NRUNS, dtype=jnp.int32)[None, None]
-    s0_sel = jnp.sum(runs_q[:, None, :NRUNS] * onehot, axis=2)
-    sh_sel = jnp.sum(runs_q[:, None, 2 * NRUNS : 3 * NRUNS] * onehot, axis=2)
-    slot = s0_sel + sh_sel + sk_q % RCAP
+    r_of = sk_q // RC
+    onehot = r_of[..., None] == jnp.arange(NR, dtype=jnp.int32)[None, None]
+    s0_sel = jnp.sum(runs_q[:, None, :NR] * onehot, axis=2)
+    sh_sel = jnp.sum(runs_q[:, None, 2 * NR : 3 * NR] * onehot, axis=2)
+    slot = s0_sel + sh_sel + sk_q % RC
     gidx = index[slot]
     gidx = jnp.where(jnp.isfinite(dk_q), gidx, jnp.uint32(n))
 
     db = jnp.full(qs.shape[0], jnp.inf, jnp.float32)
     covered = jnp.ones(qs.shape[0], bool)
-    for dim in range(3):
+    for dim in range(2 if zfull else 3):
         C = int(dims[dim])
         hd = np.float32(h[dim])
         lod = np.float32(lo[dim])
@@ -371,14 +480,14 @@ def _pow2(n: int, lo: int) -> int:
     return b
 
 
-def _pack_host(psz_h, porder):
+def _pack_host(psz_h, porder, ng=G):
     """First-fit packing (size-descending) of pieces into (<= QB queries,
-    <= G slots) blocks — the one sequential step, in C when available."""
+    <= ng slots) blocks — the one sequential step, in C when available."""
     try:
         from nbodyhpc_tpu import _hostio  # type: ignore
 
         if hasattr(_hostio, "first_fit_pack"):
-            return _hostio.first_fit_pack(psz_h, porder, QB, G)
+            return _hostio.first_fit_pack(psz_h, porder, QB, ng)
     except ImportError:
         pass
     npieces = psz_h.shape[0]
@@ -388,7 +497,7 @@ def _pack_host(psz_h, porder):
     cb, cf, cn = 0, 0, 0
     for pp in porder:
         sv = int(psz_h[pp])
-        if cn == G or cf + sv > QB:
+        if cn == ng or cf + sv > QB:
             cb += 1
             cf = 0
             cn = 0
@@ -445,8 +554,7 @@ def query_blocks_device(tree, tree_dev, queries, k: int,
     dims = tuple(int(v) for v in tree.dims)
     periodic = bool(tree.periodic)
     Q = queries.shape[0]
-    zseg, nseg, npair, _ = piece_geometry(tree)
-    prow, flagged = static_piece_tables(tree, tree_dev)
+    geom, pair, zseg, nseg, prow, flagged = tree_plan(tree, tree_dev)
     lo_np = np.asarray(tree.lo, np.float64)
     h_np = np.asarray(tree.cell_size, np.float64)
     lo_j = jnp.asarray(lo_np.astype(np.float32))
@@ -476,7 +584,7 @@ def query_blocks_device(tree, tree_dev, queries, k: int,
                 [qc, jnp.broadcast_to(qc[:1], (CQ - qc.shape[0], 3))]
             )
         qs, qcs, orig, dpid, slot_in_piece, pmeta, npieces_d = _stage_sort(
-            qc, lo_j, h_j, dims, periodic, zseg, nseg
+            qc, lo_j, h_j, dims, periodic, zseg, nseg, pair
         )
         chunks.append([c0, c1, qs, qcs, orig, dpid, slot_in_piece, pmeta,
                        npieces_d])
@@ -507,12 +615,12 @@ def query_blocks_device(tree, tree_dev, queries, k: int,
         psz_h = pm[0].astype(np.int64)
         pid_h = pm[1].astype(np.int64)
         porder = np.argsort(-psz_h, kind="stable")
-        nb2, blk_of, slot_base, gslot = _pack_host(psz_h, porder)
+        nb2, blk_of, slot_base, gslot = _pack_host(psz_h, porder, geom.G)
         t0 = _tr(f"B pack host (npieces={npieces}, nb2={nb2})", t0)
 
         msizes = _macro_sizes(int(nb2), batch_blocks)
         nbpad = sum(msizes)
-        map_bg = np.full((nbpad, G), -1, np.int32)
+        map_bg = np.full((nbpad, geom.G), -1, np.int32)
         map_bg[blk_of, gslot] = pid_h
 
         npb = _pow2(npieces, 1024)
@@ -524,7 +632,7 @@ def query_blocks_device(tree, tree_dev, queries, k: int,
 
         qblk, runs, flat, runs_q = _stage_pack(
             qs, dpid, slot_in_piece, padi(blk_of), padi(slot_base),
-            padi(gslot), jnp.asarray(map_bg), prow, nbpad=nbpad,
+            padi(gslot), jnp.asarray(map_bg), prow, nbpad=nbpad, ng=geom.G,
         )
         t0 = _tr("B stage_pack", t0, qblk)
         dk_l, sk_l = [], []
@@ -539,6 +647,7 @@ def query_blocks_device(tree, tree_dev, queries, k: int,
                     jax.lax.slice_in_dim(qblk, b0, b0 + msize),
                     xyz, nblocks=msize, kpad=_kpad(int(k)),
                     periodic=periodic, box=box, interpret=interpret,
+                    geom=geom,
                 )
                 dk = dk3[:, :, : int(k)].reshape(-1, int(k))
                 sk = sk3[:, :, : int(k)].reshape(-1, int(k))
@@ -548,7 +657,7 @@ def query_blocks_device(tree, tree_dev, queries, k: int,
                     jax.lax.slice_in_dim(runs, b0, b0 + msize),
                     jax.lax.slice_in_dim(qblk, b0, b0 + msize),
                     xyz, nblocks=msize, periodic=periodic, box=box,
-                    interpret=interpret,
+                    interpret=interpret, geom=geom,
                 )
                 t0 = _tr(f"B kernel msize={msize}", t0, d2)
                 dk, sk = _topk_blocks(d2, int(k))
@@ -561,7 +670,8 @@ def query_blocks_device(tree, tree_dev, queries, k: int,
         sk = jnp.concatenate(sk_l) if len(sk_l) > 1 else sk_l[0]
         flag_q = flagged[pmeta[1][dpid]]
         d, gi, conv = _epilogue(
-            dk, sk, flat, runs_q, qs, qcs, flag_q, index, int(k), meta
+            dk, sk, flat, runs_q, qs, qcs, flag_q, index, int(k), meta,
+            geom=geom, zfull=not pair,
         )
         t0 = _tr("B epilogue", t0, d)
         # rows are in piece-sorted order: the pad tail's queries are

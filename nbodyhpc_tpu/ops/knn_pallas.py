@@ -17,6 +17,7 @@ standard escalation ladder (ops/knn.py) finishes them.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -39,25 +40,64 @@ G = 12            # column-pair pieces packed per block (occupancy: a piece
 RFETCH = RCAP + 128  # aligned fetch width (DMA offsets must be 128-aligned)
 
 
-def _start_run_dmas(runs_ref, xyz_ref, cand, sems):
-    """Kick off every non-empty run's candidate fetch up front (432 DMAs
+class KGeom(NamedTuple):
+    """Kernel geometry: pieces per block, run slots per piece, lanes per run.
+
+    Two presets trade DMA issue count against candidate focus (the round-2
+    ablation found the kernel DMA-issue-bound at ~240 small fetches per
+    block, PERF.md §2):
+
+    - ``ZSEG`` (the original): pieces are column pairs x z-segments; runs
+      are per-neighbor-column z-windows — tightly focused candidates
+      (~41% of NCAND valid) but ~18-36 small DMAs per piece. Serves ANY
+      tree density (the z-segment bounds the candidate budget).
+    - ``FULLZ``: pieces are single cell columns over their FULL z extent;
+      the 3x3 neighbor columns collapse to 3 *contiguous, gapless* slices
+      of the z-major sorted point array (one per neighbor x), so a piece
+      costs ~3-6 large DMAs instead of ~18-36 small ones, and the
+      convergence bound drops the z face entirely (z is fully scanned).
+      Eligible only while a 3-column slice fits the slot budget
+      (NR * RCAP lanes ~ 12k candidates/piece — trees up to ~1.4k points
+      per cell column, e.g. 1e7-2.5e7 uniform points at occupancy ~10);
+      denser trees keep ZSEG.
+    """
+
+    G: int        # piece slots per block
+    NR: int       # physical run slots per piece
+    RCAP: int     # candidate lanes per run slot (128-multiple)
+
+    @property
+    def RFETCH(self) -> int:  # aligned fetch width per run DMA
+        return self.RCAP + 128
+
+    @property
+    def NCAND(self) -> int:   # candidate lanes per query row
+        return self.NR * self.RCAP
+
+
+ZSEG = KGeom(G=G, NR=NRUNS, RCAP=RCAP)
+FULLZ = KGeom(G=12, NR=6, RCAP=2048)
+
+
+def _start_run_dmas(runs_ref, xyz_ref, cand, sems, geom):
+    """Kick off every non-empty run's candidate fetch up front (all DMAs
     in flight while the VPU works)."""
-    for g in range(G):
-        for r in range(NRUNS):
-            ln = runs_ref[0, g, NRUNS + r]
+    for g in range(geom.G):
+        for r in range(geom.NR):
+            ln = runs_ref[0, g, geom.NR + r]
 
             @pl.when(ln > 0)  # zero-length runs (and empty piece slots)
             def _():          # skip the DMA entirely
                 s0 = pl.multiple_of(runs_ref[0, g, r], 128)
                 pltpu.make_async_copy(
-                    xyz_ref.at[:, pl.ds(s0, RFETCH)],
-                    cand.at[g * NRUNS + r],
-                    sems.at[g * NRUNS + r],
+                    xyz_ref.at[:, pl.ds(s0, geom.RFETCH)],
+                    cand.at[g * geom.NR + r],
+                    sems.at[g * geom.NR + r],
                 ).start()
 
 
-def _run_distances(runs_ref, xyz_ref, cand, sems, q, masks, r,
-                   periodic: bool, box):
+def _run_distances(runs_ref, xyz_ref, cand, sems, cxyz_s, valid_s, q,
+                   masks, r, geom, periodic: bool, box):
     """[QB, RCAP] squared distances from run slot ``r`` of each query's own
     piece (inf outside the run / for pad queries).
 
@@ -66,44 +106,52 @@ def _run_distances(runs_ref, xyz_ref, cand, sems, q, masks, r,
     [QB, 1] piece-membership), then evaluates the distance ONCE. The
     original form evaluated the full distance block per piece and selected
     the results — G x the VPU work; the kernel was VPU-bound there
-    (PERF.md §2 roofline note)."""
+    (PERF.md §2 roofline note). The selection chain accumulates in VMEM
+    scratch under ``pl.when(ln > 0)`` so piece slots with an empty run
+    slot r cost NO vector work at all (a block typically has 1-3 active
+    pieces out of G under the FULLZ geometry — an unconditional chain
+    would burn G * 4 selects per lane regardless)."""
     qx, qy, qz, _ = q
-    lane = jax.lax.broadcasted_iota(jnp.int32, (QB, RCAP), 1)
-    cxyz = None
-    lnrow = jnp.zeros((QB, 1), jnp.int32)
-    for g in range(G):
-        ln = runs_ref[0, g, NRUNS + r]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (QB, geom.RCAP), 1)
+    # rows never written keep garbage coordinates from the previous run
+    # slot; valid_s gates them to inf (jnp.where picks inf even off NaN)
+    valid_s[...] = jnp.zeros((QB, geom.RCAP), jnp.float32)
+    for g in range(geom.G):
+        ln = runs_ref[0, g, geom.NR + r]
 
         @pl.when(ln > 0)
         def _():
             pltpu.make_async_copy(
                 xyz_ref.at[:, pl.ds(
-                    pl.multiple_of(runs_ref[0, g, r], 128), RFETCH)],
-                cand.at[g * NRUNS + r],
-                sems.at[g * NRUNS + r],
+                    pl.multiple_of(runs_ref[0, g, r], 128), geom.RFETCH)],
+                cand.at[g * geom.NR + r],
+                sems.at[g * geom.NR + r],
             ).wait()
-        shift = runs_ref[0, g, 2 * NRUNS + r]
+            shift = runs_ref[0, g, 2 * geom.NR + r]
 
-        # roll the run's candidates to lane 0 (run starts at `shift`)
-        rolled = pltpu.roll(
-            cand[g * NRUNS + r], jax.lax.rem(RFETCH - shift, RFETCH),
-            axis=1,
-        )
-        rows = tuple(rolled[dim, :RCAP][None, :] for dim in range(3))
-        if cxyz is None:
-            cxyz = tuple(jnp.broadcast_to(rw, (QB, RCAP)) for rw in rows)
-        else:
-            cxyz = tuple(jnp.where(masks[g], rw, cur)
-                         for rw, cur in zip(rows, cxyz))
-        lnrow = jnp.where(masks[g], ln, lnrow)
+            # roll the run's candidates to lane 0 (run starts at `shift`)
+            rolled = pltpu.roll(
+                cand[g * geom.NR + r],
+                jax.lax.rem(geom.RFETCH - shift, geom.RFETCH),
+                axis=1,
+            )
+            for dim in range(3):
+                row = rolled[dim, : geom.RCAP][None, :]
+                cxyz_s[dim] = jnp.where(
+                    masks[g], jnp.broadcast_to(row, (QB, geom.RCAP)),
+                    cxyz_s[dim],
+                )
+            valid_s[...] = jnp.where(
+                masks[g], (lane < ln).astype(jnp.float32), valid_s[...]
+            )
 
-    d2 = jnp.zeros((QB, RCAP), jnp.float32)
+    d2 = jnp.zeros((QB, geom.RCAP), jnp.float32)
     for dim, qd in ((0, qx), (1, qy), (2, qz)):
-        d = qd - cxyz[dim]
+        d = qd - cxyz_s[dim]
         if periodic:
             d = _wrap_min_image(d, float(box[dim]))
         d2 = d2 + d * d
-    return jnp.where(lane < lnrow, d2, jnp.inf)
+    return jnp.where(valid_s[...] > 0, d2, jnp.inf)
 
 
 def _q_columns(q_ref):
@@ -111,32 +159,34 @@ def _q_columns(q_ref):
             q_ref[0, :, 3:4])  # piece id; pad slots carry -1: no piece
 
 
-def _piece_masks(qg):
+def _piece_masks(qg, geom):
     """[QB, 1] piece-membership mask per piece slot, hoisted across all
-    NRUNS run slots (pad rows carry -1 and match none)."""
-    return tuple(qg == float(g) for g in range(G))
+    run slots (pad rows carry -1 and match none)."""
+    return tuple(qg == float(g) for g in range(geom.G))
 
 
-def _knn_kernel(runs_ref, q_ref, xyz_ref, out_ref, cand, sems,
-                *, periodic: bool, box):
-    # runs_ref: [1, G, 128] SMEM i32 per piece g: s0[0:36] (128-aligned),
-    #           lens[36:72], shift[72:108] (s - s0)
+def _knn_kernel(runs_ref, q_ref, xyz_ref, out_ref, cand, cxyz_s, valid_s,
+                sems, *, geom, periodic: bool, box):
+    # runs_ref: [1, G, 128] SMEM i32 per piece g: s0[0:NR] (128-aligned),
+    #           lens[NR:2NR], shift[2NR:3NR] (s - s0)
     # q_ref: [1, QB, 4] VMEM f32: qx, qy, qz, piece id per query
     # xyz_ref: [4, npad] ANY
     # out_ref: [1, QB, NCAND] VMEM block (pipelined write); column slot r
     #          holds, for each query, the distances from ITS piece's run r
-    # cand: VMEM [G*NRUNS, 4, RFETCH]; sems: DMA[G*NRUNS]
-    _start_run_dmas(runs_ref, xyz_ref, cand, sems)
+    # cand: VMEM [G*NR, 4, RFETCH]; sems: DMA[G*NR]
+    _start_run_dmas(runs_ref, xyz_ref, cand, sems, geom)
     q = _q_columns(q_ref)
-    masks = _piece_masks(q[3])
-    for r in range(NRUNS):
-        out_ref[0, :, r * RCAP : (r + 1) * RCAP] = _run_distances(
-            runs_ref, xyz_ref, cand, sems, q, masks, r, periodic, box
+    masks = _piece_masks(q[3], geom)
+    for r in range(geom.NR):
+        out_ref[0, :, r * geom.RCAP : (r + 1) * geom.RCAP] = _run_distances(
+            runs_ref, xyz_ref, cand, sems, cxyz_s, valid_s, q, masks, r,
+            geom, periodic, box
         )
 
 
 def _knn_topk_kernel(runs_ref, q_ref, xyz_ref, dk_ref, sk_ref, cand, dblk,
-                     sems, *, periodic: bool, box, kpad: int):
+                     cxyz_s, valid_s, sems, *, geom, periodic: bool, box,
+                     kpad: int):
     """Fused candidate distances + exact top-k, never leaving VMEM.
 
     The [QB, NCAND] distance block stays in a VMEM scratch and ``kpad``
@@ -151,22 +201,25 @@ def _knn_topk_kernel(runs_ref, q_ref, xyz_ref, dk_ref, sk_ref, cand, dblk,
     inf to retire them with); both epilogues sanitize non-finite rows
     (index -> n, ladder fallback), so those duplicates are unobservable.
     """
-    _start_run_dmas(runs_ref, xyz_ref, cand, sems)
+    _start_run_dmas(runs_ref, xyz_ref, cand, sems, geom)
     q = _q_columns(q_ref)
-    masks = _piece_masks(q[3])
-    for r in range(NRUNS):
-        dblk[:, r * RCAP : (r + 1) * RCAP] = _run_distances(
-            runs_ref, xyz_ref, cand, sems, q, masks, r, periodic, box
+    masks = _piece_masks(q[3], geom)
+    for r in range(geom.NR):
+        dblk[:, r * geom.RCAP : (r + 1) * geom.RCAP] = _run_distances(
+            runs_ref, xyz_ref, cand, sems, cxyz_s, valid_s, q, masks, r,
+            geom, periodic, box
         )
 
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (QB, NCAND), 1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (QB, geom.NCAND), 1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (QB, 128), 1)
     outd = jnp.full((QB, 128), jnp.inf, jnp.float32)
     outi = jnp.zeros((QB, 128), jnp.int32)
     for i in range(kpad):
         d = dblk[...]
         m = jnp.min(d, axis=1, keepdims=True)
-        am = jnp.min(jnp.where(d == m, lanes, NCAND), axis=1, keepdims=True)
+        am = jnp.min(
+            jnp.where(d == m, lanes, geom.NCAND), axis=1, keepdims=True
+        )
         outd = jnp.where(cols == i, m, outd)
         outi = jnp.where(cols == i, am, outi)
         dblk[...] = jnp.where(lanes == am, jnp.inf, d)
@@ -175,28 +228,40 @@ def _knn_topk_kernel(runs_ref, q_ref, xyz_ref, dk_ref, sk_ref, cand, dblk,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nblocks", "periodic", "box", "interpret")
+    jax.jit,
+    static_argnames=("nblocks", "periodic", "box", "interpret", "geom"),
 )
-def _run_knn(runs, qblk, xyz, nblocks, periodic, box, interpret):
-    kernel = functools.partial(_knn_kernel, periodic=periodic, box=box)
+def _run_knn(runs, qblk, xyz, nblocks, periodic, box, interpret,
+             geom: KGeom = ZSEG):
+    kernel = functools.partial(
+        _knn_kernel, geom=geom, periodic=periodic, box=box
+    )
     return pl.pallas_call(
         kernel,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((1, G, 128), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, geom.G, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, QB, 4), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, QB, NCAND), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, QB, geom.NCAND), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nblocks, QB, NCAND), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (nblocks, QB, geom.NCAND), jnp.float32
+        ),
         scratch_shapes=[
-            pltpu.VMEM((G * NRUNS, 4, RFETCH), jnp.float32),
-            pltpu.SemaphoreType.DMA((G * NRUNS,)),
+            pltpu.VMEM((geom.G * geom.NR, 4, geom.RFETCH), jnp.float32),
+            pltpu.VMEM((3, QB, geom.RCAP), jnp.float32),
+            pltpu.VMEM((QB, geom.RCAP), jnp.float32),
+            pltpu.SemaphoreType.DMA((geom.G * geom.NR,)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # FULLZ scratch (~13 MB) + Mosaic's RMW stack exceeds the 16 MB
+        # default scoped-vmem limit (measured 21 MB); v5e VMEM is 128 MB
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(runs, qblk, xyz)
 
@@ -212,20 +277,23 @@ def _kpad(k: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nblocks", "kpad", "periodic", "box", "interpret"),
+    static_argnames=(
+        "nblocks", "kpad", "periodic", "box", "interpret", "geom"
+    ),
 )
-def _run_knn_topk(runs, qblk, xyz, nblocks, kpad, periodic, box, interpret):
+def _run_knn_topk(runs, qblk, xyz, nblocks, kpad, periodic, box, interpret,
+                  geom: KGeom = ZSEG):
     """Fused kernel: (dk [nblocks, QB, 128] f32 ascending, sk i32 candidate
     slots); lanes >= kpad are inf/0 filler. Requires k <= 128 (larger k
     takes the two-stage _run_knn + _topk_blocks path)."""
     kernel = functools.partial(
-        _knn_topk_kernel, periodic=periodic, box=box, kpad=kpad
+        _knn_topk_kernel, geom=geom, periodic=periodic, box=box, kpad=kpad
     )
     return pl.pallas_call(
         kernel,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((1, G, 128), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, geom.G, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, QB, 4), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -242,11 +310,17 @@ def _run_knn_topk(runs, qblk, xyz, nblocks, kpad, periodic, box, interpret):
             jax.ShapeDtypeStruct((nblocks, QB, 128), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((G * NRUNS, 4, RFETCH), jnp.float32),
-            pltpu.VMEM((QB, NCAND), jnp.float32),
-            pltpu.SemaphoreType.DMA((G * NRUNS,)),
+            pltpu.VMEM((geom.G * geom.NR, 4, geom.RFETCH), jnp.float32),
+            pltpu.VMEM((QB, geom.NCAND), jnp.float32),
+            pltpu.VMEM((3, QB, geom.RCAP), jnp.float32),
+            pltpu.VMEM((QB, geom.RCAP), jnp.float32),
+            pltpu.SemaphoreType.DMA((geom.G * geom.NR,)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # FULLZ scratch (~13 MB) + Mosaic's RMW stack exceeds the 16 MB
+        # default scoped-vmem limit (measured 21 MB); v5e VMEM is 128 MB
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(runs, qblk, xyz)
 
@@ -417,9 +491,11 @@ def build_blocks(tree, queries_w, qcell):
 
     # DMA offsets must be 128-aligned: fetch from the aligned floor and tell
     # the kernel the residual lane shift
-    s0 = (pstart // 128) * 128
+    # shift is computed AFTER the end-of-array clamp: a clamped s0 with a
+    # pre-clamp shift would roll the fetched lanes onto the wrong rows
+    # (benign today only because trees pad npad - n >= 2048 >> RFETCH)
+    s0 = np.minimum((pstart // 128) * 128, max(npad - (RCAP + 128), 0))
     shift = pstart - s0
-    s0 = np.minimum(s0, max(npad - (RCAP + 128), 0))
 
     # per-piece run rows (a "piece" = what the table machinery above calls a
     # block: one column pair x z-segment x <= QB queries)
@@ -496,16 +572,16 @@ def _topk_blocks(d2, k):
     # HBM) costs more than the ~10% of pad rows it would save. Row-chunked
     # with lax.map: one monolithic top_k materializes value+index sort
     # buffers rivaling the 5 GiB distance block and OOMs at macro scale.
-    nb = d2.shape[0]
+    nb, _, ncand = d2.shape
     rows = nb * QB
-    flat = d2.reshape(rows, NCAND)
+    flat = d2.reshape(rows, ncand)
     ch = min(16384, rows)  # rows is a power-of-two multiple of QB
 
     def one(chunk):
         neg, sel = jax.lax.top_k(-chunk, k)
         return -neg, sel
 
-    dk, sk = jax.lax.map(one, flat.reshape(-1, ch, NCAND))
+    dk, sk = jax.lax.map(one, flat.reshape(-1, ch, ncand))
     return dk.reshape(rows, k), sk.reshape(rows, k)
 
 

@@ -90,6 +90,81 @@ def test_static_tables_cover_neighborhoods_exactly(periodic):
         assert sorted(got) == want_slots
 
 
+@pytest.mark.parametrize("periodic", [True, False])
+def test_fullz_tables_cover_column_neighborhoods_exactly(periodic):
+    """FULLZ geometry (pieces = single full-z cell columns): the run tables
+    must cover, for every column, exactly the tree slots of its 3x3
+    neighbor columns over the FULL z extent, each slot at most once —
+    the exactness contract that lets the epilogue drop the z face from the
+    convergence bound (reference analog: the per-leaf full scan,
+    kdtree_opt.hpp:105-248)."""
+    from nbodyhpc_tpu.ops.knn_device import _build_static_tables_fullz
+    from nbodyhpc_tpu.ops.knn_pallas import FULLZ
+
+    pts, t = _tree(4000, 1, periodic)
+    tree = t._tree
+    Cx, Cy, Cz = (int(v) for v in tree.dims)
+    npad = int(tree.xyz.shape[1])
+    offsets = np.asarray(t._dev[2])
+    prow, flagged = _build_static_tables_fullz(
+        t._dev[2], (Cx, Cy, Cz), periodic, npad
+    )
+    prow = np.asarray(prow)
+    flagged = np.asarray(flagged)
+    NR = FULLZ.NR
+
+    rng = np.random.default_rng(2)
+    ncol = Cx * Cy
+    for col in rng.choice(ncol, size=min(ncol, 40), replace=False):
+        cx, cy = col // Cy, col % Cy
+        want = set()
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                x, y = cx + dx, cy + dy
+                if periodic:
+                    x, y = x % Cx, y % Cy
+                elif not (0 <= x < Cx and 0 <= y < Cy):
+                    continue
+                for z in range(Cz):
+                    want.add((x * Cy + y) * Cz + z)
+        want_slots = sorted(
+            sl for c in want
+            for sl in range(offsets[c], offsets[c + 1])
+        )
+        got = []
+        for r in range(NR):
+            s0, ln, sh = (
+                prow[col, r], prow[col, NR + r], prow[col, 2 * NR + r]
+            )
+            got.extend(range(s0 + sh, s0 + sh + ln))
+        if flagged[col]:
+            assert not got
+            continue
+        assert len(got) == len(set(got)), "duplicate slot coverage"
+        assert sorted(got) == want_slots
+
+
+def test_tree_plan_prefers_fullz_and_falls_back_when_dense():
+    """Sparse uniform trees take FULLZ (columns fit the candidate budget);
+    a tree whose columns exceed NR * RCAP lanes keeps ZSEG."""
+    from nbodyhpc_tpu.ops.knn_device import tree_plan
+    from nbodyhpc_tpu.ops.knn_pallas import FULLZ, ZSEG
+
+    pts, t = _tree(4000, 7, True)
+    geom = tree_plan(t._tree, t._dev)[0]
+    assert geom is FULLZ
+
+    # all points in one thin column: its 3-column slice is the whole array,
+    # far past FULLZ's 12k-lane budget once n > NR * RCAP
+    rng = np.random.default_rng(8)
+    pts2 = rng.random((20000, 3), dtype=np.float32)
+    pts2[:, 0] *= 1e-3
+    pts2[:, 1] *= 1e-3
+    t2 = KDTree(pts2, boxsize=1.0)
+    geom2 = tree_plan(t2._tree, t2._dev)[0]
+    assert geom2 is ZSEG
+
+
 def test_stage_sort_segmentation_invariants():
     pts, t = _tree(3000, 3, True)
     tree = t._tree
