@@ -51,6 +51,45 @@ def bench_query(n, nq, ks):
                   f"({len(q)/dt:.0f} q/s)")
 
 
+def bench_ball(n=1e7, nq=1e5, mean_count=32.0, parity_q=512):
+    """Fixed-radius (ball) count throughput at BASELINE row-2 scale
+    (1e7-point tree), radius sized for ~``mean_count`` neighbors per query
+    — the regime of kNN-CDF / correlation statistics. scipy
+    ``query_ball_point`` parity on a subset is asserted before timing
+    (reference prune analog: kdtree_impl.hpp:239-267)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nbodyhpc_tpu.kdtree import KDTree
+    from nbodyhpc_tpu.utils.philox import random_points
+
+    print("== ball count (radius queries) ==")
+    n, nq = int(n), int(nq)
+    pts = random_points(n, seed=5)
+    r = float((mean_count * 3.0 / (4.0 * np.pi * n)) ** (1.0 / 3.0))
+    tree = KDTree(pts, boxsize=1.0)
+    q = pts[:nq]
+
+    from scipy.spatial import cKDTree
+
+    sub = min(parity_q, nq)
+    ref = cKDTree(pts, boxsize=1.0).query_ball_point(
+        q[:sub], r, return_length=True
+    )
+    got = tree.query_radius_count(q[:sub], r)
+    np.testing.assert_array_equal(got, ref)
+    print(f"  scipy parity OK on {sub} queries "
+          f"(r={r:.4g}, mean count {ref.mean():.1f})")
+
+    tree.query_radius_count(q[: min(8192, nq)], r)  # warm compiles
+    t0 = time.perf_counter()
+    cnt = tree.query_radius_count(q, r)
+    dt = time.perf_counter() - t0
+    print(f"  n={n:.0e} nq={nq:.0e}: {dt:.3f}s ({nq / dt:,.0f} q/s, "
+          f"mean count {cnt.mean():.1f})")
+    return nq / dt
+
+
 def bench_roofline(nbytes=1 << 28, rows=1 << 16, cands=512, reps=5):
     """Device rooflines framing the query numbers, the analog of the
     reference's Memcpy / ReduceDistance baselines
@@ -103,10 +142,12 @@ def main():
         bench_roofline(nbytes=1 << 24, rows=1 << 10, cands=128, reps=2)
         bench_build([1e5], [8.0])
         bench_query(1e5, 2e4, [8])
+        bench_ball(1e5, 1e4)
     else:
         bench_roofline()
         bench_build([2**20, 2**22, 2**24], [4.0, 8.0, 16.0, 32.0])
         bench_query(1e7, 5e5, [1, 8, 16])
+        bench_ball()
 
 
 if __name__ == "__main__":

@@ -424,6 +424,19 @@ def _deposit_kernel(tilei_ref, attrs_ref, _outin, _hxin, _hzin, _hcin,
 
 
 
+def _vma_of(x):
+    """Varying-mesh-axes set of ``x``'s aval (empty outside shard_map).
+
+    pallas_call out_shapes carry no vma annotation of their own, which
+    makes ``check_vma=True`` shard_maps reject the call; propagating the
+    operand's vma declares the truth — every output varies exactly like
+    the per-device inputs that produced it."""
+    try:
+        return jax.typeof(x).vma
+    except Exception:  # pragma: no cover — older jax without vma avals
+        return frozenset()
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -462,10 +475,14 @@ def _run_deposit(tilei, attrs, out_init, hx_init, hz_init, hc_init, nreal,
         ],
         out_specs=tuple(pl.BlockSpec(memory_space=pl.ANY) for _ in range(4)),
         out_shape=(
-            jax.ShapeDtypeStruct((ntiles, TX, TZ, TY), jnp.float32),
-            jax.ShapeDtypeStruct((ntiles, HALO, TZ, TY), jnp.float32),
-            jax.ShapeDtypeStruct((ntiles, TX, HALO, TY), jnp.float32),
-            jax.ShapeDtypeStruct((ntiles, HALO, HALO, TY), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles, TX, TZ, TY), jnp.float32,
+                                 vma=_vma_of(attrs)),
+            jax.ShapeDtypeStruct((ntiles, HALO, TZ, TY), jnp.float32,
+                                 vma=_vma_of(attrs)),
+            jax.ShapeDtypeStruct((ntiles, TX, HALO, TY), jnp.float32,
+                                 vma=_vma_of(attrs)),
+            jax.ShapeDtypeStruct((ntiles, HALO, HALO, TY), jnp.float32,
+                                 vma=_vma_of(attrs)),
         ),
         scratch_shapes=[
             pltpu.VMEM((geom.XSLOTS, geom.ZSLOTS, TY), jnp.float32),
@@ -571,8 +588,10 @@ def _run_align(starts, cnts, aoff, srcf, srci, dstf_init, dsti_init,
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((NF, np_pad), jnp.float32),
-            jax.ShapeDtypeStruct((NI, np_pad), jnp.int32),
+            jax.ShapeDtypeStruct((NF, np_pad), jnp.float32,
+                                 vma=_vma_of(srcf)),
+            jax.ShapeDtypeStruct((NI, np_pad), jnp.int32,
+                                 vma=_vma_of(srcf)),
         ),
         scratch_shapes=[
             pltpu.VMEM((NF, AFETCH), jnp.float32),

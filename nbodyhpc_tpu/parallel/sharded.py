@@ -335,8 +335,16 @@ def render_points_volume_sharded(
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis)),
         out_specs=(P(None, None, axis), P()),
-        # pallas_call out_shapes carry no varying-mesh-axes annotation;
-        # correctness of the slab decomposition is pinned by tests instead
+        # The engine's pallas_call out_shapes DO propagate their operands'
+        # varying-mesh-axes sets (splat_pallas._vma_of), but jax 0.9's
+        # interpret-mode pallas lowering (pallas/hlo_interpreter.py:466)
+        # still mixes varying operands with invariant iota starts inside
+        # its own dynamic_slice and raises "Primitive dynamic_slice
+        # requires varying manual axes to match ... as a temporary
+        # workaround pass check_vma=False" — a jax-internal limitation,
+        # not a typing hole in the render body. The kNN and stats
+        # shard_maps (no pallas) run fully checked; slab-decomposition
+        # correctness here is pinned by tests/test_sharded.py instead.
         check_vma=False,
     )
     # flatten the device axis into the shard axis
