@@ -243,28 +243,35 @@ def main():
         del part  # free HBM before the kNN workload
         _stamp(f"kNN workload (budget left {_remaining():.0f}s)")
         # the kNN metrics are secondary: never let a failure there take
-        # the headline splat line down with it
+        # the headline splat line down with it. The device-resident
+        # metrics land in their own superset line BEFORE the e2e-numpy
+        # section (which rides the tunnel and can eat any budget), so a
+        # late watchdog exit still carries them.
         try:
-            result.update(_bench_knn(jax, jnp, np))
+            result.update(_bench_knn_device(jax, jnp, np))
+            _emit(result)
         except Exception as e:  # noqa: BLE001 — recorded, not swallowed
-            _stamp(f"kNN workload FAILED: {type(e).__name__}: {e}")
+            _stamp(f"kNN device workload FAILED: {type(e).__name__}: {e}")
             result["knn_error"] = f"{type(e).__name__}: {str(e)[:200]}"
-        # superset line — supersedes the splat-only line in the tail
-        _emit(result)
+            _emit(result)
+        if _remaining() >= 60:
+            try:
+                result.update(_bench_knn_e2e(jax, jnp, np))
+                _emit(result)
+            except Exception as e:  # noqa: BLE001
+                _stamp(f"kNN e2e workload FAILED: {type(e).__name__}: {e}")
+                result["knn_e2e_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+                _emit(result)
+        else:
+            _stamp(f"kNN e2e section SKIPPED: {_remaining():.0f}s left")
     _stamp("done")
 
 
-def _bench_knn(jax, jnp, np):
-    """PERF.md §2 workload, two dispositions:
-
-    - device-resident (production on real TPU hosts): points generated in
-      HBM, tree built in place, ``query_device`` results stay on device
-      (one checksum sync) — measures the framework, not the host link;
-    - end-to-end through the public numpy API (host arrays both ways) with
-      a raw-upload tunnel control, because under axon every byte rides a
-      tunnel whose bandwidth swings 50x day to day (measured 0.9-50 MB/s)
-      and e2e numbers are garbage without the control.
-    """
+def _bench_knn_device(jax, jnp, np):
+    """PERF.md §2 workload, device-resident disposition (production on real
+    TPU hosts): points generated in HBM, tree built in place,
+    ``query_device`` results stay on device (one checksum sync) — measures
+    the framework, not the host link."""
     import time
 
     import jax.random as jr
@@ -277,10 +284,18 @@ def _bench_knn(jax, jnp, np):
     # --- device-resident workload ---
     pts_d = jr.uniform(jr.key(99), (nk, 3), jnp.float32)
     float(jnp.sum(pts_d[:1]))  # materialize before timing
-    t0 = time.time()
-    tree_d = KDTree(pts_d, boxsize=1.0)
-    float(jnp.sum(tree_d._dev[2][:1]))
-    build_dev_s = time.time() - t0
+    # best-of-2 build: the first build of this shape class pays the
+    # persistent-cache deserialization of the sort program (one-time per
+    # process, not per-build); the second measures the steady-state
+    # device build the reference's 0.85 s host build compares against
+    build_dev_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        tree_d = KDTree(pts_d, boxsize=1.0)
+        float(jnp.sum(tree_d._dev[2][:1]))
+        build_dev_s = min(build_dev_s, time.time() - t0)
+        if _remaining() < 90:
+            break
     qd = pts_d[:nq]
     # warm compiles with a FULL-SIZE run: macro decomposition compiles one
     # kernel program per pow2 macro size (512/256/128) and a small warmup
@@ -305,7 +320,26 @@ def _bench_knn(jax, jnp, np):
     # self-query exactness: d(p, p) == 0.0, bit-exact, like the reference
     # harness (kdtree/src/cpp/main.cpp:51-93)
     assert float(jnp.max(dd[:, 0])) == 0.0, "self-query nearest distance != 0"
-    del pts_d, tree_d, qd, dd, ii
+    return {
+        "knn_qps_device": round(nq / query_dev_s, 1),
+        "knn_build_s_device": round(build_dev_s, 2),
+        # reference kdtree_main on this host, periodic, 1 core (BASELINE.md)
+        "knn_vs_ref": round(nq / query_dev_s / 165959.0, 3),
+    }
+
+
+def _bench_knn_e2e(jax, jnp, np):
+    """PERF.md §2 workload end-to-end through the public numpy API (host
+    arrays both ways) with a raw-upload tunnel control, because under axon
+    every byte rides a tunnel whose bandwidth swings 50x day to day
+    (measured 0.9-50 MB/s) and e2e numbers are garbage without the
+    control."""
+    import time
+
+    from nbodyhpc_tpu.kdtree import KDTree
+
+    nk = int(float(os.environ.get("BENCH_KNN_N", 1e7)))
+    nq = int(float(os.environ.get("BENCH_KNN_Q", 5e5)))
 
     # --- end-to-end numpy workload with tunnel control ---
     rng = np.random.Generator(np.random.Philox(99))
@@ -329,12 +363,8 @@ def _bench_knn(jax, jnp, np):
     assert d.shape == (nq, 16)
     assert float(np.max(d[:, 0])) == 0.0, "self-query nearest distance != 0"
     return {
-        "knn_qps_device": round(nq / query_dev_s, 1),
-        "knn_build_s_device": round(build_dev_s, 2),
         "knn_qps_e2e": round(nq / query_s, 1),
         "knn_build_s": round(build_s, 2),
-        # reference kdtree_main on this host, periodic, 1 core (BASELINE.md)
-        "knn_vs_ref": round(nq / query_dev_s / 165959.0, 3),
         "tunnel_h2d_mbs": round(h2d_mbs, 1),
     }
 
