@@ -11,6 +11,31 @@ from nbodyhpc_tpu.ops import splat_pallas
 from nbodyhpc_tpu.ops.splat import splat_volume_oracle
 
 
+def test_deposit_align_kernel_smoke_g8():
+    """Default-tier smoke (VERDICT r2 ask 7): one tiny interpret-mode
+    ``splat_volume`` so a plain ``pytest -q`` exercises the deposit and
+    align Pallas kernels (plus the combine/unpack fold) at least once.
+
+    Radii sit in the G8 eligibility interval (2, 3] px, so the G6 bucket
+    is empty and skipped eagerly — exactly one deposit program (G8) and
+    the shared G6/G8 align/combine programs compile (~22 s on one CPU
+    core, all trace/lower; execution is milliseconds). Exact oracle
+    parity holds below the rpx >= 4 FMA-contraction quantum regime
+    (see tests/test_splat_dense.py::_quantum_atol)."""
+    rng = np.random.Generator(np.random.Philox(7))
+    n, ppu = 12, 8.0
+    grid = (16, 12, 16)
+    box = np.array([g / ppu for g in grid], np.float32)
+    pos = (rng.random((n, 3)).astype(np.float32) * box).astype(np.float32)
+    w = rng.random(n).astype(np.float32) + 0.5
+    r = ((2.1 + rng.random(n) * 0.8) / ppu).astype(np.float32)
+    got = np.asarray(
+        splat_pallas.splat_volume(pos, w, r, ppu, grid, interpret=True)
+    )
+    want = splat_volume_oracle(pos, w, r, ppu, grid)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
 @pytest.mark.slow
 def test_pallas_matches_oracle_interpret():
     rng = np.random.Generator(np.random.Philox(11))
