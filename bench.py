@@ -103,7 +103,7 @@ def main():
     from nbodyhpc_tpu.ops.ghosts import augment_points_periodic_device
     from nbodyhpc_tpu.ops.splat import footprint_values, required_halfwidth
 
-    n = int(float(os.environ.get("BENCH_N", 1e8)))
+    n_ask = int(float(os.environ.get("BENCH_N", 1e8)))
     grid = int(os.environ.get("BENCH_GRID", 1024))
     ppu = float(grid)  # unit box
 
@@ -117,13 +117,52 @@ def main():
     # run. Distribution is unchanged (uniform positions, lognormal radii).
     import jax.random as jr
 
-    _stamp(f"generating {n:.0e} particles on device")
-    spacing_px = grid / n ** (1.0 / 3.0)
-    kp, kr = jr.split(jr.key(12345))
-    pos = jr.uniform(kp, (n, 3), jnp.float32)
-    rpx_d = jnp.maximum(
-        jnp.exp(jr.normal(kr, (n,), jnp.float32) * 0.35) * spacing_px, 0.1
-    )
+    def _gen(n):
+        """Device workload at size n (distribution fixed by the FULL-size
+        spacing so a degraded run measures the same radius population the
+        1e8 headline does — only fewer draws, never easier radii)."""
+        spacing_px = grid / n_ask ** (1.0 / 3.0)
+        kp, kr = jr.split(jr.key(12345))
+        pos = jr.uniform(kp, (n, 3), jnp.float32)
+        rpx_d = jnp.maximum(
+            jnp.exp(jr.normal(kr, (n,), jnp.float32) * 0.35) * spacing_px, 0.1
+        )
+        return pos, rpx_d
+
+    # Tunnel-weather gate: device generation is a handful of cached
+    # programs (~8 s nominal) but has been measured at 216-1075 s on
+    # IDENTICAL code when the axon tunnel degrades — enough to starve the
+    # whole driver budget before the first JSON byte. Stage it: generate a
+    # 1/5-size probe first and time it; if the probe alone ate a chunk of
+    # the budget, keep the probe AS the workload (same radius
+    # distribution, honestly labeled by the metric name and
+    # ``"degraded_n": true``) instead of dying unparsed at full size.
+    n_floor = int(float(os.environ.get("BENCH_N_FLOOR", n_ask // 5)))
+    degraded = False
+    if n_floor < n_ask:
+        _stamp(f"weather probe: generating {n_floor:.0e} particles on device")
+        pos, rpx_d = _gen(n_floor)
+        float(jnp.max(rpx_d[:1]))  # drain: time the real round trip
+        probe_s = time.time() - _T0
+        degraded = (
+            probe_s > max(45.0, BUDGET_S * 0.12)
+            # pre-warm hook: compile/cache the degraded path's programs
+            # (their shapes differ from the full-size run's) ahead of a
+            # driver run that might take this branch under bad weather
+            or os.environ.get("BENCH_FORCE_DEGRADED") == "1"
+        )
+        if degraded:
+            n = n_floor
+            _stamp(
+                f"probe took {probe_s:.0f}s — tunnel weather; keeping the "
+                f"{n_floor:.0e} workload (degraded_n)"
+            )
+        else:
+            del pos, rpx_d
+    if not degraded:
+        n = n_ask
+        _stamp(f"generating {n:.0e} particles on device")
+        pos, rpx_d = _gen(n)
     r = rpx_d / np.float32(ppu)
     w = jnp.ones(n, jnp.float32)
     r_max, pct_mid, pct_huge = (
@@ -244,6 +283,7 @@ def main():
         "pct_mid_bucket": round(pct_mid, 3),
         "pct_dense_tail": round(pct_huge, 4),
         "warm": warm,
+        "degraded_n": degraded,
     }
     # headline on the wire FIRST — nothing after this point can lose it
     _emit(result)
