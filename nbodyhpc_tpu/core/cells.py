@@ -17,6 +17,7 @@ program (static shapes).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 
@@ -140,18 +141,26 @@ def _device_sort_build(points_f32, lo, inv_h, dims, periodic, npad, n):
     XLA cannot fuse the pad/concat chain into the sort operands.
     Returns (xyz (4, npad), index (npad,) uint32, offsets (ncells+1,) int32,
     max_cell_count scalar) — all device arrays, nothing synced."""
-    import functools
+    return _jitted_sort_build(
+        tuple(int(v) for v in dims), bool(periodic), int(npad), int(n)
+    )(points_f32, lo, inv_h)
 
+
+@functools.lru_cache(maxsize=64)
+def _jitted_sort_build(dims, periodic, npad, n):
+    """Per-shape-class jitted build program, cached for the process lifetime.
+
+    A fresh ``jax.jit(partial(...))`` per build re-traces and re-lowers the
+    whole program every call — measured ~1.9 s of single-core host work per
+    1e7-point build (the sort itself executes in ~60 ms; probe 2026-08-19).
+    Repeat builds of the same shape class must hit a live jit object."""
     import jax
 
-    core = functools.partial(
-        _sort_build_core,
-        dims=tuple(int(v) for v in dims),
-        periodic=bool(periodic),
-        npad=int(npad),
-        n=int(n),
+    return jax.jit(
+        functools.partial(
+            _sort_build_core, dims=dims, periodic=periodic, npad=npad, n=n
+        )
     )
-    return jax.jit(core)(points_f32, lo, inv_h)
 
 
 def _sort_build_core(points_f32, lo, inv_h, *, dims, periodic, npad, n):
