@@ -65,9 +65,11 @@ def main(argv=None):
         pts[: min(4096, nq)], k=args.num_neighbors
     )
     visited = float(stats.points_visited.mean()) / len(pts) * 100.0
+    pruned = float(stats.cells_pruned.mean()) / max(tree._tree.ncells, 1) * 100.0
     print(f"query: {t_query:.3f} s -> {nq/t_query:.0f} q/s")
     print(f"self-query exact: {self_ok}")
     print(f"% points visited: {visited:.4f}")
+    print(f"% cells pruned: {pruned:.2f}")
     return 0 if self_ok else 1
 
 

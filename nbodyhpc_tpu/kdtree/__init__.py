@@ -180,9 +180,10 @@ class KDTree:
 
     def query_with_statistics(self, points, k: int = 1):
         """Like :meth:`query` but also returns per-query
-        :class:`QueryStatistics` (cells scanned, candidate points visited) —
-        the analog of the reference's KDTreeQueryStatistics output
-        (kdtree.hpp:199-210)."""
+        :class:`QueryStatistics` (cells scanned, candidate points visited,
+        cells pruned by the convergence bound) — the analog of the
+        reference's KDTreeQueryStatistics output (kdtree.hpp:124-131,
+        199-210: nodes_visited / points_visited / nodes_pruned)."""
         points = np.asarray(points, dtype=np.float32).reshape(-1, 3)
         res = _knn.cell_knn_query(self._tree, self._dev, points, k, with_stats=True)
         return res.distances, res.indices, res.stats

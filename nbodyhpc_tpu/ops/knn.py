@@ -37,10 +37,15 @@ from .metrics import wrap_min_image
 class QueryStatistics(NamedTuple):
     """Per-query work counters, mirroring the reference's KDTreeQueryStatistics
     (kdtree/src/cpp/include/kdtree/kdtree.hpp:124-131): ``cells_scanned`` is the
-    analog of nodes_visited and ``points_visited`` counts candidate points."""
+    analog of nodes_visited, ``points_visited`` counts candidate points, and
+    ``cells_pruned`` is the analog of nodes_pruned — the grid cells the
+    convergence bound excluded from scanning (the statistic that shows the
+    box-distance prune working, kdtree_impl.hpp:249-265). Queries that fell
+    through to the exact brute-force pass pruned nothing and report 0."""
 
     cells_scanned: jnp.ndarray
     points_visited: jnp.ndarray
+    cells_pruned: jnp.ndarray
 
 
 class KnnResult(NamedTuple):
@@ -255,10 +260,19 @@ def _cube_pass(tree, meta, queries_w, qcell, k, r, budget, state):
     d2_out = jnp.where(upd[:, None], new_d2, old_d2)
     slot_out = jnp.where(upd[:, None], new_slot, old_slot)
     conv_out = old_conv | (upd & new_conv)
-    cells_scanned, points_visited = stats
+    cells_scanned, points_visited, cells_pruned = stats
     cells_scanned = cells_scanned + jnp.where(upd, jnp.sum(valid, axis=1), 0)
     points_visited = points_visited + jnp.where(upd, taken, 0)
-    return d2_out, slot_out, conv_out, (cells_scanned, points_visited)
+    # cells excluded by the convergence bound: a query certified in this pass
+    # never scans the complement of its cube (reference nodes_pruned analog,
+    # kdtree_impl.hpp:249-265)
+    ncells_total = int(dims[0]) * int(dims[1]) * int(dims[2])
+    cells_pruned = cells_pruned + jnp.where(
+        upd & new_conv,
+        jnp.maximum(jnp.int32(ncells_total) - cells_scanned, 0),
+        0,
+    )
+    return d2_out, slot_out, conv_out, (cells_scanned, points_visited, cells_pruned)
 
 
 def default_ladder(k: int, tree: CellList, budget_cap: int = 2048):
@@ -318,7 +332,11 @@ def _make_query_fn(meta_static, ladder, k, with_fallback, with_stats):
             jnp.full((Q, k), jnp.inf, jnp.float32) + zf,
             jnp.zeros((Q, k), jnp.int32) + zi,
             jnp.zeros((Q,), bool) | (zi != 0),
-            (jnp.zeros((Q,), jnp.int32) + zi, jnp.zeros((Q,), jnp.int32) + zi),
+            (
+                jnp.zeros((Q,), jnp.int32) + zi,
+                jnp.zeros((Q,), jnp.int32) + zi,
+                jnp.zeros((Q,), jnp.int32) + zi,
+            ),
         )
 
         state = _cube_pass(tree, meta, qw, qcell, k, ladder[0][0], ladder[0][1], state)
@@ -344,6 +362,7 @@ def _make_query_fn(meta_static, ladder, k, with_fallback, with_stats):
                     (
                         s[3][0],
                         s[3][1] + jnp.where(upd, jnp.int32(n), 0),
+                        s[3][2],  # brute-forced queries pruned nothing
                     ),
                 )
 
@@ -354,7 +373,7 @@ def _make_query_fn(meta_static, ladder, k, with_fallback, with_stats):
         gidx = jnp.where(jnp.isfinite(d2), gidx, jnp.uint32(n))
         dist = jnp.sqrt(d2)
         if with_stats:
-            return dist, gidx, stats[0], stats[1]
+            return dist, gidx, stats[0], stats[1], stats[2]
         return dist, gidx
 
     return run
@@ -446,6 +465,11 @@ def cell_knn_query(
             tree, tree_dev, queries, k, interpret=use_kernel == "force"
             and jax.default_backend() != "tpu",
         )
+        # kernel-converged queries certified via the same complement bound:
+        # every cell outside the scanned neighborhood was pruned
+        cp = np.where(
+            conv, np.maximum(np.int32(tree.ncells) - cs, 0), 0
+        ).astype(np.int32)
         idx_host = tree.index_host()
         gidx = idx_host[np.clip(slot, 0, idx_host.shape[0] - 1)]
         gidx = np.where(np.isfinite(d2), gidx, np.uint32(tree.n)).astype(np.uint32)
@@ -464,7 +488,8 @@ def cell_knn_query(
                 # neighborhood scan wasn't what converged them
                 cs[bad] = sub.stats.cells_scanned
                 pv[bad] = sub.stats.points_visited
-        stats = QueryStatistics(cs, pv) if with_stats else None
+                cp[bad] = sub.stats.cells_pruned
+        stats = QueryStatistics(cs, pv, cp) if with_stats else None
         return KnnResult(dist, gidx, stats)
     if ladder is None:
         ladder = default_ladder(k, tree)
@@ -480,6 +505,7 @@ def cell_knn_query(
     out_i = np.empty((Q, k), np.uint32)
     out_cs = np.empty((Q,), np.int32) if with_stats else None
     out_pv = np.empty((Q,), np.int32) if with_stats else None
+    out_cp = np.empty((Q,), np.int32) if with_stats else None
 
     csize = min(chunk, max(Q, 1))
     for s in range(0, max(Q, 1), csize):
@@ -489,13 +515,14 @@ def cell_knn_query(
             qc = np.pad(qc, ((0, csize - qc.shape[0]), (0, 0)))
         res = fn(xyz, index, offsets, jnp.asarray(qc))
         if with_stats:
-            d, i, cs, pv = res
+            d, i, cs, pv, cp = res
             out_cs[s:e] = np.asarray(cs)[: e - s]
             out_pv[s:e] = np.asarray(pv)[: e - s]
+            out_cp[s:e] = np.asarray(cp)[: e - s]
         else:
             d, i = res
         out_d[s:e] = np.asarray(d)[: e - s]
         out_i[s:e] = np.asarray(i)[: e - s]
 
-    stats = QueryStatistics(out_cs, out_pv) if with_stats else None
+    stats = QueryStatistics(out_cs, out_pv, out_cp) if with_stats else None
     return KnnResult(out_d, out_i, stats)

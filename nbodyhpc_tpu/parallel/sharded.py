@@ -330,6 +330,7 @@ def render_points_volume_sharded(
     hops = min(nd - 1, max(1, int(np.ceil((max_rpx + Z_MARGIN) / gz_loc))))
     fn = _render_shard_fn(gx, gy, gz_loc, subsample, band_cap,
                           axis, buckets, hops, dense_hw, huge_cap, batch)
+    interpret = jax.default_backend() != "tpu"
     mapped = shard_map(
         fn,
         mesh=mesh,
@@ -342,10 +343,13 @@ def render_points_volume_sharded(
         # its own dynamic_slice and raises "Primitive dynamic_slice
         # requires varying manual axes to match ... as a temporary
         # workaround pass check_vma=False" — a jax-internal limitation,
-        # not a typing hole in the render body. The kNN and stats
-        # shard_maps (no pallas) run fully checked; slab-decomposition
-        # correctness here is pinned by tests/test_sharded.py instead.
-        check_vma=False,
+        # not a typing hole in the render body, so the check is disabled
+        # ONLY under interpret mode (the virtual CPU mesh); compiled
+        # multi-chip executions keep the full shard-variance typing check.
+        # The kNN and stats shard_maps (no pallas) run fully checked either
+        # way; slab-decomposition correctness under interpret is pinned by
+        # tests/test_sharded.py instead.
+        check_vma=not interpret,
     )
     # flatten the device axis into the shard axis
     jf = jax.jit(

@@ -42,11 +42,39 @@ except KeyboardInterrupt:
 """
 
 
-def test_sigint_aborts_chunked_query():
+RENDER_CHILD = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from nbodyhpc_tpu.rasterizer import render_points_volume
+
+rng = np.random.Generator(np.random.Philox(9))
+n = 2_000_000
+pos = rng.random((n, 3)).astype(np.float32)
+w = np.ones(n, np.float32)
+r = (rng.random(n) * 0.04 + 0.01).astype(np.float32)
+# warm the per-chunk program with a short render of the same chunk shape,
+# grid and radius class, so the long render below spends its time in the
+# chunked dispatch loop (whose boundaries are the cancellation points)
+render_points_volume(pos[:256], w[:256], r[:256], 32.0, 32)
+print("WARM", flush=True)
+try:
+    render_points_volume(pos, w, r, 32.0, 32)
+    print("DONE", flush=True)
+    sys.exit(1)
+except KeyboardInterrupt:
+    print("INTERRUPTED", flush=True)
+    sys.exit(42)
+"""
+
+
+def _run_sigint_child(child_src):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     p = subprocess.Popen(
-        [sys.executable, "-c", CHILD],
+        [sys.executable, "-c", child_src],
         stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL,
         text=True,
@@ -71,3 +99,14 @@ def test_sigint_aborts_chunked_query():
     assert p.returncode == 42
     # abort must come at the next chunk boundary, not after the whole batch
     assert latency < 60.0, latency
+
+
+def test_sigint_aborts_chunked_query():
+    _run_sigint_child(CHILD)
+
+
+def test_sigint_aborts_chunked_render():
+    """A multi-batch volume render dies within one chunk of the SIGINT —
+    the render-path half of the reference's cooperative cancellation
+    (point_renderer.cpp:797-818 fence polling + pybind.cpp:15-23)."""
+    _run_sigint_child(RENDER_CHILD)

@@ -143,6 +143,13 @@ def test_query_statistics():
     assert np.all(stats.points_visited >= 4)
     # visiting a small fraction of all points is the entire point of the index
     assert np.mean(stats.points_visited) < 0.5 * tree.n
+    # ... and the complement was PRUNED by the convergence bound (reference
+    # nodes_pruned analog): pruned + scanned covers the whole grid for
+    # bound-converged queries, and most cells are pruned, not scanned
+    assert stats.cells_pruned.shape == (50,)
+    ncells = tree._tree.ncells
+    assert np.all(stats.cells_pruned + stats.cells_scanned >= 0.9 * ncells)
+    assert np.mean(stats.cells_pruned) > 0.5 * ncells
 
 
 def test_ball_count_matches_scipy():
