@@ -17,14 +17,27 @@ import os as _os
 
 if _os.environ.get("NBODYHPC_TPU_CACHE", "1") != "0":
     # persistent XLA compilation cache: kernel compiles through the remote
-    # TPU compiler take minutes; cache them across processes
+    # TPU compiler take minutes; cache them across processes. CPU-forced
+    # processes (JAX_PLATFORMS=cpu in the env OR jax_platforms set to cpu
+    # programmatically before this import: the multichip dry run, CPU
+    # smoke scripts, the test suite) must NOT touch it: XLA:CPU serializes
+    # AOT executables with compile-machine feature flags that don't match
+    # this host (cpu_aot_loader warns "could lead to execution errors such
+    # as SIGILL") and both the serialize and the reload path have
+    # segfaulted here (jax 0.9.0) — the cache is for the (remote-compiled)
+    # TPU programs only.
     import jax as _jax
 
-    _jax.config.update(
-        "jax_compilation_cache_dir",
-        _os.environ.get("NBODYHPC_TPU_CACHE_DIR",
-                        _os.path.expanduser("~/.jax_cache")),
+    _platforms = (
+        getattr(_jax.config, "jax_platforms", None)
+        or _os.environ.get("JAX_PLATFORMS", "")
     )
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if _platforms.lower() != "cpu":
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("NBODYHPC_TPU_CACHE_DIR",
+                            _os.path.expanduser("~/.jax_cache")),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from . import core, ops, utils  # noqa: F401

@@ -13,9 +13,30 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 ).strip()
 
+# Tests must NOT touch the persistent compile cache (~/.jax_cache) at all:
+# XLA:CPU's executable.serialize() segfaults (jax 0.9.0, reproduced twice at
+# the identical put_executable_and_time site) persisting the big
+# interpret-mode kNN programs, and a later read-only run against the same
+# cache dir segfaulted inside backend_compile_and_load — while the same test
+# passes cleanly against an empty cache dir (811 s, 2026-08-20). So: point
+# the cache at an empty per-run tmpdir AND raise the min-compile-time gate
+# (it runs before serialization) so nothing is ever written either. Warming
+# the real cache is bench/production's job, not the test suite's.
+# NBODYHPC_TPU_CACHE=0 stops the package __init__ from re-pointing the
+# cache at ~/.jax_cache on import.
+os.environ["NBODYHPC_TPU_CACHE"] = "0"
+
+import tempfile  # noqa: E402
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("NBODYHPC_TPU_CACHE_DIR",
+                   tempfile.mkdtemp(prefix="nbodyhpc_test_cache_")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
 
 
 def pytest_addoption(parser):
