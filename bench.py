@@ -186,7 +186,12 @@ def main():
     # augmentation), rasterization/README.md:27-31. The timed region is the
     # device render; the density stays in HBM (production disposition).
     _stamp("periodic ghost augmentation (device)")
-    gpj, gwj, grj = augment_points_periodic_device(pos, w, r, (1.0, 1.0, 1.0))
+    # pad_ok: inert capacity-padding rows (weight 0, radius 0) ride through
+    # the partition sort and deposit zero mass — skipping the exact trim
+    # keeps every ghost-aug program shape recurring across runs/rounds
+    gpj, gwj, grj = augment_points_periodic_device(
+        pos, w, r, (1.0, 1.0, 1.0), pad_ok=True
+    )
     del pos, w, r, rpx_d  # free HBM before the partition sort
     # fused (radius class, tile) partition sort up front — the TPU analog
     # of the reference's CPU vertex pre-processing (z-sort + periodic
@@ -206,6 +211,38 @@ def main():
     def render(p):
         vol = splat_pallas.splat_volume(p, None, None, ppu, gshape)
         return float(jnp.sum(vol))
+
+    # kNN-FIRST disposition (round 4): round 3's artifact lost its kNN
+    # evidence because the splat warmup (unbounded compile risk under
+    # tunnel weather) ran first and ate the whole budget. When weather
+    # already consumed a big slice of the budget by this point, run the
+    # CHEAP, cache-friendly kNN section before any splat program is
+    # compiled, and put a provisional kNN-headline line on the wire so
+    # even a hung splat compile leaves a parsed artifact (the watchdog
+    # then exits 0 with it). When the splat headline lands later it
+    # supersedes this line (the driver reads the LAST complete line).
+    knn_results = {}
+    knn_done = False
+    if os.environ.get("BENCH_KNN", "1") != "0" and (
+        _remaining() < BUDGET_S * 0.5
+        or os.environ.get("BENCH_KNN_FIRST") == "1"
+    ):
+        _stamp(f"kNN FIRST: only {_remaining():.0f}s left before splat "
+               "programs — securing the kNN metrics now")
+        try:
+            knn_results = _bench_knn_device(jax, jnp, np)
+            _emit({
+                "metric": "knn_1e7_tree_5e5_selfqueries_k16_device",
+                "value": round(knn_results["knn_qps_device"] / 1e3, 1),
+                "unit": "kqueries/s",
+                "vs_baseline": knn_results["knn_vs_ref"],
+                "provisional_splat_pending": True,
+                **knn_results,
+            })
+            knn_done = True
+            _arm_watchdog()
+        except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+            _stamp(f"kNN-first workload FAILED: {type(e).__name__}: {e}")
 
     # One full-shape warmup pass: compiles (or deserializes from the
     # persistent cache) every program the timed render runs. A small-slice
@@ -285,6 +322,7 @@ def main():
         "warm": warm,
         "degraded_n": degraded,
     }
+    result.update(knn_results)  # kNN-first metrics ride every later line
     # headline on the wire FIRST — nothing after this point can lose it
     _emit(result)
     _arm_watchdog()
@@ -292,7 +330,7 @@ def main():
     knn_min_s = float(os.environ.get("BENCH_KNN_MIN_S", 120))
     if os.environ.get("BENCH_KNN", "1") == "0":
         _stamp("kNN section disabled (BENCH_KNN=0)")
-    elif _remaining() < knn_min_s:
+    elif not knn_done and _remaining() < knn_min_s:
         _stamp(f"kNN section SKIPPED: {_remaining():.0f}s left < {knn_min_s:.0f}s")
     else:
         del part  # free HBM before the kNN workload
@@ -302,13 +340,14 @@ def main():
         # metrics land in their own superset line BEFORE the e2e-numpy
         # section (which rides the tunnel and can eat any budget), so a
         # late watchdog exit still carries them.
-        try:
-            result.update(_bench_knn_device(jax, jnp, np))
-            _emit(result)
-        except Exception as e:  # noqa: BLE001 — recorded, not swallowed
-            _stamp(f"kNN device workload FAILED: {type(e).__name__}: {e}")
-            result["knn_error"] = f"{type(e).__name__}: {str(e)[:200]}"
-            _emit(result)
+        if not knn_done:
+            try:
+                result.update(_bench_knn_device(jax, jnp, np))
+                _emit(result)
+            except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+                _stamp(f"kNN device workload FAILED: {type(e).__name__}: {e}")
+                result["knn_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+                _emit(result)
         if _remaining() >= 60:
             try:
                 result.update(_bench_knn_e2e(jax, jnp, np))

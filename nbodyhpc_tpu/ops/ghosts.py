@@ -11,6 +11,8 @@ jitted path.
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 
@@ -45,39 +47,135 @@ def augment_points_periodic(positions, weights, radii, box_size):
     return positions, weights, radii
 
 
-def augment_points_periodic_device(positions, weights, radii, box_size):
+#: clone-capacity rounding: static program shapes recur across runs when
+#: counts land in the same capacity bucket, so the big gather/concat
+#: programs hit the in-process jit cache AND the persistent compile cache
+#: instead of recompiling for every data-dependent count (measured: the old
+#: exact-size eager path cost ~82 s at 1e8 purely in per-process compiles +
+#: dispatch). The quantum scales with n (n is part of the program shape
+#: anyway) so small inputs don't drown in pad rows: <= ~1.6% of n, capped
+#: at 64k.
+def _cap(cnt: int, n: int) -> int:
+    if not cnt:
+        return 0
+    q = 64
+    while q < min(1 << 16, n // 64):
+        q <<= 1
+    return min(n, -(-cnt // q) * q)
+
+
+@functools.lru_cache(maxsize=64)
+def _count_fn(dim: int, L: float):
+    import jax
+    import jax.numpy as jnp
+
+    def count(positions, radii):
+        x = positions[:, dim]
+        return jnp.stack([
+            jnp.sum(x + radii > L, dtype=jnp.int32),
+            jnp.sum(x - radii < 0.0, dtype=jnp.int32),
+        ])
+
+    return jax.jit(count)
+
+
+@functools.lru_cache(maxsize=64)
+def _step_fn(dim: int, L: float, cap_hi: int, cap_lo: int):
+    """One fused program: recompute face masks, gather the clones into
+    quantized-capacity slots (pad rows get weight 0, radius 0, box-center
+    position so they can never deposit mass or re-clone in a later dim),
+    and append. Static shape key = (n via trace, cap_hi, cap_lo, dim)."""
+    import jax
+    import jax.numpy as jnp
+
+    def step(positions, weights, radii, nhi, nlo):
+        x = positions[:, dim]
+        segs_p = [positions]
+        segs_w = [weights]
+        segs_r = [radii]
+        for cap, cnt, mask, shift in (
+            (cap_hi, nhi, x + radii > L, jnp.float32(-L)),
+            (cap_lo, nlo, x - radii < 0.0, jnp.float32(+L)),
+        ):
+            if not cap:
+                continue
+            idx = jnp.nonzero(mask, size=cap, fill_value=0)[0]
+            valid = jnp.arange(cap, dtype=jnp.int32) < cnt
+            p = positions[idx].at[:, dim].add(shift)
+            p = jnp.where(valid[:, None], p, jnp.float32(0.5 * L))
+            segs_p.append(p)
+            segs_w.append(jnp.where(valid, weights[idx], 0.0))
+            segs_r.append(jnp.where(valid, radii[idx], 0.0))
+        return (
+            jnp.concatenate(segs_p),
+            jnp.concatenate(segs_w),
+            jnp.concatenate(segs_r),
+        )
+
+    return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
+@functools.lru_cache(maxsize=64)
+def _trim_fn(n: int, cap_hi: int, cap_lo: int, nhi: int, nlo: int):
+    """Exact compaction to host-order parity: drop the pad tails of both
+    face segments. One program per count combination — only the exact
+    (pad_ok=False) path pays it; perf callers skip the trim entirely."""
+    import jax
+    import jax.numpy as jnp
+
+    def trim(positions, weights, radii):
+        outs = []
+        for a in (positions, weights, radii):
+            segs = [a[:n]]
+            if nhi:
+                segs.append(a[n:n + nhi])
+            if nlo:
+                segs.append(a[n + cap_hi:n + cap_hi + nlo])
+            outs.append(jnp.concatenate(segs) if len(segs) > 1 else segs[0])
+        return tuple(outs)
+
+    return jax.jit(trim, donate_argnums=(0, 1, 2))
+
+
+def augment_points_periodic_device(positions, weights, radii, box_size,
+                                    pad_ok: bool = False):
     """Device-resident variant of :func:`augment_points_periodic`.
 
     Identical dim-sequential clone semantics and output ordering (hi-face
     clones then lo-face clones per dimension, ascending source index).
-    Ghost counts are data-dependent, so this runs eagerly with one small
-    host sync per dimension to size the clone gathers; everything else
-    stays in HBM. Use it when the particle set already lives on device —
-    at 1e8 particles the host version costs minutes of single-core numpy
-    plus a full re-upload, while this costs milliseconds. The row gathers
-    here are prep, not hot-path (the no-gather invariant applies to the
-    per-voxel deposit/query loops, not to a one-off boundary compaction).
+    Ghost counts are data-dependent, so each dimension pays one small host
+    sync to size the clone gathers; the gather/append itself is ONE jitted
+    program per dimension with clone capacity rounded up to
+    ``_CAP_QUANTUM``, so program shapes recur across runs and persist in
+    the compile cache instead of recompiling for every count. Capacity
+    padding rows are inert (weight 0, radius 0, box-center position —
+    they deposit no mass and never re-clone in a later dimension):
+    with ``pad_ok=True`` they are left in place (zero per-count programs;
+    the bulk-render path, which sorts and mass-weights everything anyway,
+    uses this) and with the default ``pad_ok=False`` a per-dimension trim
+    restores exact row-for-row parity with the host version. Use this
+    when the particle set already lives on device — at 1e8 particles the
+    host version costs minutes of single-core numpy plus a full
+    re-upload. The row gathers here are prep, not hot-path (the no-gather
+    invariant applies to the per-voxel deposit/query loops, not to a
+    one-off boundary compaction).
     """
-    import jax.numpy as jnp
-
     for dim in range(3):
         L = float(box_size[dim])
         if L <= 0:
             continue
-        x = positions[:, dim]
-        hi = x + radii > L
-        lo = x - radii < 0.0
-        nhi, nlo = (int(v) for v in np.asarray(jnp.stack(
-            [jnp.sum(hi, dtype=jnp.int32), jnp.sum(lo, dtype=jnp.int32)]
-        )))
-        clones = []
-        for mask, cnt, shift in ((hi, nhi, -L), (lo, nlo, +L)):
-            if cnt:
-                idx = jnp.nonzero(mask, size=cnt)[0]
-                p = positions[idx].at[:, dim].add(jnp.float32(shift))
-                clones.append((p, weights[idx], radii[idx]))
-        if clones:
-            positions = jnp.concatenate([positions] + [c[0] for c in clones])
-            weights = jnp.concatenate([weights] + [c[1] for c in clones])
-            radii = jnp.concatenate([radii] + [c[2] for c in clones])
+        n = positions.shape[0]
+        nhi, nlo = (int(v) for v in np.asarray(
+            _count_fn(dim, L)(positions, radii)
+        ))
+        if not (nhi or nlo):
+            continue
+        cap_hi, cap_lo = _cap(nhi, n), _cap(nlo, n)
+        positions, weights, radii = _step_fn(dim, L, cap_hi, cap_lo)(
+            positions, weights, radii, nhi, nlo
+        )
+        if not pad_ok and (cap_hi != nhi or cap_lo != nlo):
+            positions, weights, radii = _trim_fn(
+                n, cap_hi, cap_lo, nhi, nlo
+            )(positions, weights, radii)
     return positions, weights, radii

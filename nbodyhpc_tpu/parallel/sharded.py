@@ -264,9 +264,18 @@ def render_points_volume_sharded(
     else:
         period = tuple(float(v) for v in np.broadcast_to(periodic, (3,)))
     if any(p > 0 for p in period):
-        aug = (augment_points_periodic_device if device_in
-               else augment_points_periodic)
-        positions, weights, radii = aug(positions, weights, radii, period)
+        if device_in:
+            # pad_ok: capacity-padding rows are inert (weight 0, radius 0)
+            # and the slab partition/deposit mass-weights everything, so
+            # skipping the exact trim costs nothing and keeps the clone
+            # program shapes recurring (see ghosts._CAP_QUANTUM)
+            positions, weights, radii = augment_points_periodic_device(
+                positions, weights, radii, period, pad_ok=True
+            )
+        else:
+            positions, weights, radii = augment_points_periodic(
+                positions, weights, radii, period
+            )
 
     ppx = positions * pixels_per_unit
     rpx = radii * pixels_per_unit
