@@ -1554,17 +1554,27 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
                                 // ACHUNK * ACHUNK
                             )
 
+                    # LAG-1 sync token: a one-element slice of this batch's
+                    # input, enqueued BEFORE this batch's prep/align/deposit
+                    # programs. In-order device execution means fetching it
+                    # after the dispatch below waits exactly until the
+                    # PREVIOUS batch's deposit finished (freeing its
+                    # sort/align transients) while this batch keeps the
+                    # device busy — the tunnel round trip hides under
+                    # compute instead of draining the pipe (the old bi%2
+                    # deposit-output sync idled the device for an RTT plus
+                    # two batches of host dispatch, every other batch).
+                    # Live transient bound stays 2 batch sets: the one in
+                    # flight plus the one enqueued next.
+                    tok = ppj[:1, 0] if device_in else None
                     bufs = _dispatch_batch(
                         geom, ppj, wj, rj, grid3, np_pad, bufs,
                         accumulate=not first, subsample=subsample,
                         interpret=interpret, xwin=xwin, key_in=kj,
                     )
                     first = False
-                    if device_in and bi % 2 == 1:
-                        # bound async queue depth: without a sync, XLA keeps
-                        # several batches' sort/align transients alive at
-                        # once and OOMs
-                        float(jnp.sum(bufs[0][:1]))
+                    if tok is not None:
+                        float(tok[0])
                 tw = _trs(
                     f"  F={geom.F} win@{xt0} batches ({wn} rows)", tw
                 )

@@ -1,1 +1,1 @@
-from . import mesh, sharded, stats  # noqa: F401
+from . import mesh, sharded, stats, tree_sharded  # noqa: F401
