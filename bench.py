@@ -57,7 +57,13 @@ import time
 REF_PARTICLES_PER_S = 1.68e7 / 2.5
 
 _T0 = time.time()
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 540))
+# Default budget: round-3's driver run proves the driver tolerates >= 1600 s
+# (BENCH_r03 emitted its headline at +1586 s and recorded rc=0); a 540 s
+# self-budget under 2026-08-20-class tunnel weather (360 s for a nominal-8 s
+# generation probe) would watchdog-exit before ANY line hit the wire. Early
+# emission (kNN-first + provisional lines) covers the case where the driver's
+# own timeout is tighter: the parsed tail already holds a complete line.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1200))
 
 
 def _remaining():
@@ -72,13 +78,22 @@ def _emit(result):
     print(json.dumps(result), flush=True)
 
 
+_WATCHDOG_ARMED = False
+
+
 def _arm_watchdog():
     """Exit 0 cleanly at the budget — the headline line is already printed.
 
     A blocked jax call (remote Mosaic compile riding tunnel weather) cannot
     be interrupted from Python; os._exit from a daemon timer is the only
-    reliable way to beat the driver's SIGKILL and keep rc == 0.
+    reliable way to beat the driver's SIGKILL and keep rc == 0. Idempotent:
+    the first caller (provisional kNN line, degraded splat line, ...) arms
+    it; later calls are no-ops.
     """
+    global _WATCHDOG_ARMED
+    if _WATCHDOG_ARMED:
+        return
+    _WATCHDOG_ARMED = True
 
     def _bail():
         _stamp(f"watchdog: budget {BUDGET_S:.0f}s exhausted, exiting with headline")
@@ -137,7 +152,14 @@ def main():
     # the budget, keep the probe AS the workload (same radius
     # distribution, honestly labeled by the metric name and
     # ``"degraded_n": true``) instead of dying unparsed at full size.
-    n_floor = int(float(os.environ.get("BENCH_N_FLOOR", n_ask // 5)))
+    # Degraded floor n/2 (was n/5): the weather that triggers degradation is
+    # RTT/program-load dominated and nearly size-INDEPENDENT (measured
+    # 2026-08-20 night: probe 360 s, warmup 1505 s at 2e7 — vs 185 s at 1e8
+    # the same morning), so shrinking n saves almost no overhead while the
+    # fixed per-window/per-group costs amortize 5x worse (2e7 measured
+    # 0.67-0.82x vs 1.67x full-size). n/2 keeps the escape hatch at ~2.5x
+    # better amortization for ~30 s more device compute.
+    n_floor = int(float(os.environ.get("BENCH_N_FLOOR", n_ask // 2)))
     degraded = False
     if n_floor < n_ask:
         _stamp(f"weather probe: generating {n_floor:.0e} particles on device")
@@ -224,13 +246,29 @@ def main():
     knn_results = {}
     knn_done = False
     if os.environ.get("BENCH_KNN", "1") != "0" and (
-        _remaining() < BUDGET_S * 0.5
+        degraded
+        or _remaining() < BUDGET_S * 0.5
         or os.environ.get("BENCH_KNN_FIRST") == "1"
     ):
-        _stamp(f"kNN FIRST: only {_remaining():.0f}s left before splat "
+        _stamp(f"kNN FIRST: {_remaining():.0f}s left before splat "
                "programs — securing the kNN metrics now")
+
+        def _emit_provisional(res):
+            _stamp("kNN warm pass done — provisional line on the wire")
+            _emit({
+                "metric": "knn_1e7_tree_5e5_selfqueries_k16_device",
+                "value": round(res["knn_qps_device"] / 1e3, 1),
+                "unit": "kqueries/s",
+                "vs_baseline": res["knn_vs_ref"],
+                "provisional_splat_pending": True,
+                **res,
+            })
+            _arm_watchdog()
+
         try:
-            knn_results = _bench_knn_device(jax, jnp, np)
+            knn_results = _bench_knn_device(
+                jax, jnp, np, on_first=_emit_provisional
+            )
             _emit({
                 "metric": "knn_1e7_tree_5e5_selfqueries_k16_device",
                 "value": round(knn_results["knn_qps_device"] / 1e3, 1),
@@ -361,11 +399,13 @@ def main():
     _stamp("done")
 
 
-def _bench_knn_device(jax, jnp, np):
+def _bench_knn_device(jax, jnp, np, on_first=None):
     """PERF.md §2 workload, device-resident disposition (production on real
     TPU hosts): points generated in HBM, tree built in place,
     ``query_device`` results stay on device (one checksum sync) — measures
-    the framework, not the host link."""
+    the framework, not the host link. ``on_first`` (optional callable) gets
+    a provisional result dict as soon as the first full-size query pass
+    completes, before the best-of-3 timing loop."""
     import time
 
     import jax.random as jr
@@ -394,9 +434,22 @@ def _bench_knn_device(jax, jnp, np):
     # warm compiles with a FULL-SIZE run: macro decomposition compiles one
     # kernel program per pow2 macro size (512/256/128) and a small warmup
     # only covers the smallest — a cold driver run would then pay minutes
-    # of Pallas compiles inside the timed region (measured: 4.8k q/s)
+    # of Pallas compiles inside the timed region (measured: 4.8k q/s).
+    # The warm pass is itself timed and reported through ``on_first`` as a
+    # provisional number: under catastrophic tunnel weather the best-of-3
+    # loop below may never finish inside the budget, and a
+    # warm-pass-derived line on the wire beats an unparsed artifact.
+    t0 = time.time()
     dd, ii = tree_d.query_device(qd, k=16)
     float(jnp.sum(dd[:1]))
+    warmpass_s = time.time() - t0
+    if on_first is not None:
+        on_first({
+            "knn_qps_device": round(nq / warmpass_s, 1),
+            "knn_build_s_device": round(build_dev_s, 2),
+            "knn_vs_ref": round(nq / warmpass_s / 165959.0, 3),
+            "knn_warmpass_only": True,
+        })
     # best-of-3: the per-chunk scalar syncs ride the axon tunnel, whose
     # LATENCY (not just bandwidth) spikes minute to minute and can double
     # a single pass (measured 2026-08-19: 128k vs 220k q/s on identical

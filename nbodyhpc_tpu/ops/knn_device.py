@@ -603,10 +603,22 @@ def query_blocks_device(tree, tree_dev, queries, k: int,
     # device): the device stays busy on macro i while the host waits for
     # i-1, and peak HBM holds two distance blocks, not one per macro ---
     inflight = []
+    if k <= 128:
+        # fused kernel: no HBM distance block — a macro's live output is
+        # [msize, 128, kpad] f32+i32 (~67 MB at msize=512), so dozens can
+        # be in flight inside a 2 GiB budget. Each pace sync is a full
+        # tunnel round trip; under degraded tunnel weather (measured
+        # 2026-08-20: 360 s for a nominal-8 s probe) the per-macro RTTs
+        # are exactly what drags the device-resident qps from 475k to
+        # 128k, so the fused path paces as rarely as memory allows.
+        per_macro = batch_blocks * 128 * 128 * 8  # [msize, QB, 128] f32+i32
+        max_inflight = max(2, (2 << 30) // per_macro)
+    else:
+        max_inflight = 2
 
     def pace(dk):
         inflight.append(dk)
-        if len(inflight) > 2:
+        if len(inflight) > max_inflight:
             float(inflight.pop(0)[0, 0])
 
     parts = []

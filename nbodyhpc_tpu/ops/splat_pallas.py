@@ -1579,12 +1579,18 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
                     f"  F={geom.F} win@{xt0} batches ({wn} rows)", tw
                 )
 
-            if device_in and not first:
-                # drain the batch pipeline before enqueueing the combine:
-                # the last batches' sort/align transients must be freed
-                # first, or they coexist with the combine's grid-sized
-                # buffers and OOM at 1024^3
-                float(jnp.sum(bufs[0][:1]))
+            # No group-end drain: the per-batch lag-1 token fetches already
+            # pace the host to at most ONE batch ahead of the device, so the
+            # combine can be enqueued immediately and the device transitions
+            # last-deposit -> combine back-to-back instead of idling through
+            # a tunnel round trip plus the combine's host enqueue time at
+            # every window/group boundary (the old full drain synced on the
+            # deposit output here). Live-set bound is unchanged: the
+            # transition holds the last batch's stream set plus the next
+            # window's first — the same 2 stream sets the window plan
+            # budgets for the in-window steady state — and the 2-tile-set
+            # coexistence during combine execution predates this (the host
+            # never waited for the combine before zeroing the next window).
             if xwin is None:
                 vol = _unpack_tiles(*bufs, grid3, vol, fgeom)
             else:
