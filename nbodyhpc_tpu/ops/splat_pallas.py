@@ -1413,7 +1413,20 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
             ) * 2**30
             vol_bytes = 4 * gxp * gy * gz
             ch_max = max(j["geom"].CH for j in jobs)
-            np_pad_est = batch + ch_max * m * ntx + ACHUNK + ch_max
+            # the row term of a batch's aligned stream is bounded by the
+            # LARGEST JOB in this group, not by the nominal batch size: a
+            # 50k-particle G32 class never dispatches more than its own
+            # row-rung (~125k rows), and budgeting a full 8e6-row stream
+            # for it halved the window width (4 windows instead of 2 at
+            # 1e8 -> 1024^3, ~0.45 s of pure per-window fixed cost). The
+            # CH*m*ntx channel term keeps the full-grid tile count — it
+            # overestimates the windowed ntiles, which is the safe side.
+            rows_max = max(
+                (j["p_in"].shape[0] if j["cnt"] is None else int(j["cnt"]))
+                for j in jobs
+            )
+            est_rows = _quant_rows(max(min(batch, rows_max), 1), batch)
+            np_pad_est = est_rows + ch_max * m * ntx + ACHUNK + ch_max
             stream_bytes = 2 * (NF + NI) * 4 * np_pad_est
             avail = (
                 budget - vol_bytes - resident - 2 * stream_bytes - 2**30
