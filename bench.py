@@ -75,6 +75,11 @@ def _stamp(msg):
 
 
 def _emit(result):
+    """One complete JSON line per call. Contract with the driver: it parses
+    the LAST complete line on stdout, so later (superset / upgraded) lines
+    supersede earlier ones; provisional lines carry their own distinct
+    ``metric`` names so a first-match consumer can never confuse them with
+    the final headline."""
     print(json.dumps(result), flush=True)
 
 
@@ -255,8 +260,13 @@ def main():
 
         def _emit_provisional(res):
             _stamp("kNN warm pass done — provisional line on the wire")
+            # distinct metric name: the warm pass includes one-time program
+            # loads and can read 80x low; a consumer that takes the FIRST
+            # match for the final metric name must never see this number
+            # (the driver takes the LAST complete line — see _emit).
             _emit({
-                "metric": "knn_1e7_tree_5e5_selfqueries_k16_device",
+                "metric":
+                    "knn_1e7_tree_5e5_selfqueries_k16_device_warmpass",
                 "value": round(res["knn_qps_device"] / 1e3, 1),
                 "unit": "kqueries/s",
                 "vs_baseline": res["knn_vs_ref"],

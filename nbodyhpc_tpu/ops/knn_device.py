@@ -606,13 +606,30 @@ def query_blocks_device(tree, tree_dev, queries, k: int,
     if k <= 128:
         # fused kernel: no HBM distance block — a macro's live output is
         # [msize, 128, kpad] f32+i32 (~67 MB at msize=512), so dozens can
-        # be in flight inside a 2 GiB budget. Each pace sync is a full
-        # tunnel round trip; under degraded tunnel weather (measured
+        # be in flight inside the free-HBM budget. Each pace sync is a
+        # full tunnel round trip; under degraded tunnel weather (measured
         # 2026-08-20: 360 s for a nominal-8 s probe) the per-macro RTTs
         # are exactly what drags the device-resident qps from 475k to
-        # 128k, so the fused path paces as rarely as memory allows.
+        # 128k, so the fused path paces as rarely as memory allows. The
+        # budget is derived from what is actually resident (tree arrays,
+        # queries, the accumulated per-macro k-slices) against the chip
+        # budget (overridable like the splat path's NBODYHPC_TPU_HBM_GB),
+        # not a fixed constant — a tree near chip capacity must pace
+        # sooner than the 1e7-point benchmark tree.
         per_macro = batch_blocks * 128 * 128 * 8  # [msize, QB, 128] f32+i32
-        max_inflight = max(2, (2 << 30) // per_macro)
+        budget = float(
+            os.environ.get("NBODYHPC_TPU_HBM_GB", "13.0")
+        ) * 2**30
+        resident = (
+            xyz.nbytes + index.nbytes + offsets.nbytes + prow.nbytes
+            + queries.nbytes
+            # chunk-lifetime arrays: sorted queries/cells/perms (~9 i32/f32
+            # channels per query) plus the accumulated dk_l/sk_l k-slices
+            + Q * 4 * 9
+            + Q * (int(k) * 8 + 16)
+        )
+        free = budget - resident - (1 << 30)
+        max_inflight = max(2, int(free // per_macro))
     else:
         max_inflight = 2
 
