@@ -300,16 +300,41 @@ def main():
     #
     # Degradation ladder (tunnel weather can eat the whole budget before
     # this point — generation alone has cost 2-216 s across runs of
-    # identical code): when less than half the budget remains, SKIP the
-    # warmup pass and time the first render directly. That number still
-    # carries the one-time per-process program loads (pessimistic but
-    # real, and the mass gate still certifies it); `"warm": false` in the
-    # JSON marks the disposition. An unparsed rc=124 artifact is the only
-    # dishonest outcome.
-    warm = _remaining() > BUDGET_S * 0.5
+    # identical code): the warmup gamble is taken only when the remaining
+    # budget covers the MEASURED warm-cache warmup (~200 s, PERF.md §2b)
+    # plus the timed render and audit; otherwise SKIP the warmup pass and
+    # time the first render directly. That number still carries the
+    # one-time per-process program loads (pessimistic but real, and the
+    # mass gate still certifies it); `"warm": false` in the JSON marks the
+    # disposition. An unparsed rc=124 artifact is the only dishonest
+    # outcome.
+    warmup_est = float(os.environ.get("BENCH_WARMUP_EST_S", 250))
+    warm = _remaining() > warmup_est + 150
     if warm:
         _stamp(f"warmup: full render (budget left {_remaining():.0f}s)")
-        render(part)
+        tw0 = time.time()
+        total_w = render(part)
+        warmup_s = time.time() - tw0
+        _stamp(f"warmup render done: {warmup_s:.2f}s")
+        # Provisional splat line the moment a full-size render EXISTS:
+        # round 4 died between here and the timed render with no splat
+        # evidence at all. Distinct metric name (program loads ride this
+        # number); the timed headline below supersedes it (last line
+        # wins). mass_ratio is reported raw; the footprint-integral audit
+        # gates only the final headline.
+        _emit({
+            "metric": f"splat_{n:.0e}_particles_{grid}^3_periodic_warmup",
+            "value": round(n / warmup_s / 1e6, 3),
+            "unit": "Mparticles/s",
+            "vs_baseline": round(n / warmup_s / REF_PARTICLES_PER_S, 3),
+            "elapsed_s": round(warmup_s, 2),
+            "mass_ratio": round(total_w / float(n), 6),
+            "warm": False,
+            "degraded_n": degraded,
+            "provisional_warmup": True,
+            **knn_results,
+        })
+        _arm_watchdog()
     else:
         _stamp(f"warmup SKIPPED: only {_remaining():.0f}s left — timing the "
                "first render (includes one-time program loads)")
