@@ -437,21 +437,10 @@ def _vma_of(x):
         return frozenset()
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "nchunks", "ntiles", "subsample", "accumulate", "interpret", "geom",
-    ),
-    # the tile buffers MUST be jit-donated for the pallas
-    # input_output_aliases below to alias in place: without donation XLA
-    # inserts defensive copies, so every deposit dispatch carries a second
-    # full tile set (~5.8 GB for a full-grid G8 pass at 1024^3 — measured
-    # as round 1's 12.9 GB peak, and an OOM once a previous bucket's
-    # volume is resident). Callers never reuse the passed-in buffers.
-    donate_argnums=(2, 3, 4, 5),
-)
-def _run_deposit(tilei, attrs, out_init, hx_init, hz_init, hc_init, nreal,
-                 nchunks, ntiles, subsample, accumulate, interpret, geom=G8):
+def _deposit_body(tilei, attrs, out_init, hx_init, hz_init, hc_init, nreal,
+                  nchunks, ntiles, subsample, accumulate, interpret, geom=G8):
+    """Traced deposit pallas_call (jitted standalone as ``_run_deposit``;
+    inlined into the fused ``_batch_step`` program on the device path)."""
     HALO = geom.HALO
     kernel = functools.partial(
         _deposit_kernel, subsample=subsample, accumulate=accumulate,
@@ -501,6 +490,21 @@ def _run_deposit(tilei, attrs, out_init, hx_init, hz_init, hc_init, nreal,
         ),
         interpret=interpret,
     )(tilei, attrs, out_init, hx_init, hz_init, hc_init, nreal)
+
+
+# the tile buffers MUST be jit-donated for the pallas input_output_aliases
+# to alias in place: without donation XLA inserts defensive copies, so
+# every deposit dispatch carries a second full tile set (~5.8 GB for a
+# full-grid G8 pass at 1024^3 — measured as round 1's 12.9 GB peak, and an
+# OOM once a previous bucket's volume is resident). Callers never reuse
+# the passed-in buffers.
+_run_deposit = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nchunks", "ntiles", "subsample", "accumulate", "interpret", "geom",
+    ),
+    donate_argnums=(2, 3, 4, 5),
+)(_deposit_body)
 
 
 # ---------------------------------------------------------------------------
@@ -562,15 +566,10 @@ def _align_kernel(starts_ref, cnts_ref, aoff_ref, srcf_ref, srci_ref,
     jax.lax.fori_loop(0, jnp.maximum(nchunks, 1), copy, 0)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("np_pad", "ntiles", "interpret", "geom"),
-    # same donation requirement as _run_deposit: the destination streams
-    # alias in place only when jit-donated (they are freshly allocated in
-    # _dispatch_batch and never reused)
-    donate_argnums=(5, 6),
-)
-def _run_align(starts, cnts, aoff, srcf, srci, dstf_init, dsti_init,
-               np_pad, ntiles, interpret, geom=G8):
+def _align_body(starts, cnts, aoff, srcf, srci, dstf_init, dsti_init,
+                np_pad, ntiles, interpret, geom=G8):
+    """Traced align pallas_call (jitted standalone as ``_run_align``;
+    inlined into the fused ``_batch_step`` program on the device path)."""
     return pl.pallas_call(
         functools.partial(_align_kernel, halo=geom.HALO),
         grid=(ntiles,),
@@ -603,6 +602,15 @@ def _run_align(starts, cnts, aoff, srcf, srci, dstf_init, dsti_init,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(starts, cnts, aoff, srcf, srci, dstf_init, dsti_init)
+
+
+# same donation requirement as _run_deposit: the destination streams alias
+# in place only when jit-donated (they are freshly allocated in
+# _dispatch_batch and never reused)
+_run_align = functools.partial(
+    jax.jit, static_argnames=("np_pad", "ntiles", "interpret", "geom"),
+    donate_argnums=(5, 6),
+)(_align_body)
 
 
 # ---------------------------------------------------------------------------
@@ -693,17 +701,20 @@ def _count_pairs(ppx, rpx, w, grid, geom=G8, nxt=None, xt0=0):
     return jnp.sum(keys < nt)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("grid", "np_pad", "geom", "nxt")
-)
-def _prep_batch(pos_px, w, rpx, grid, np_pad, geom=G8, nxt=None,
-                key_in=None, xt0=0):
+def _prep_body(pos_px, w, rpx, grid, np_pad, geom=G8, nxt=None,
+               key_in=None, xt0=0):
     """Pair expansion -> multi-operand sort -> elementwise channel derivation
     -> per-tile starts/counts/aligned offsets. No gathers anywhere.
+    (Traced body; jitted standalone as :func:`_prep_batch` for the host
+    path, inlined into the fused :func:`_batch_step` program on the
+    device-resident path.)
 
     ``key_in``: window-local tile keys carried from the global fused
     partition sort (:func:`_fused_partition`) — the batch is already
-    grouped by tile, so the per-batch sort is skipped entirely. The key
+    grouped by tile, so the per-batch sort is skipped entirely. Keys < 0
+    mark rows BEFORE the batch's real span (a clamped slice can re-read
+    already-deposited rows; they sort below every real tile and are
+    covered by no tile range), keys >= ntiles mark rows past it. The key
     MUST be the materialized sort channel, never recomputed from the
     positions here: across separately compiled programs XLA may
     FMA-contract the ``pos * ppu - C`` window-base chain differently and
@@ -750,8 +761,8 @@ def _prep_batch(pos_px, w, rpx, grid, np_pad, geom=G8, nxt=None,
     ww = jax.lax.dynamic_slice(ww, (0,), (np_pad,))
     rr = jax.lax.dynamic_slice(rr, (0,), (np_pad,))
 
-    invalid = key >= ntiles
-    tile = jnp.minimum(key, ntiles - 1)
+    invalid = (key >= ntiles) | (key < 0)
+    tile = jnp.clip(key, 0, ntiles - 1)
     ww = jnp.where(invalid, 0.0, ww)
     rr = jnp.where(invalid, 1.0, rr)
 
@@ -790,6 +801,11 @@ def _prep_batch(pos_px, w, rpx, grid, np_pad, geom=G8, nxt=None,
         [jnp.zeros(1, jnp.int32), jnp.cumsum(aligned, dtype=jnp.int32)]
     )
     return srcf, srci, starts[:-1], cnts, aoff[:-1]
+
+
+_prep_batch = functools.partial(
+    jax.jit, static_argnames=("grid", "np_pad", "geom", "nxt")
+)(_prep_body)
 
 
 @functools.partial(
@@ -949,6 +965,94 @@ def _dispatch_batch(geom, ppj, wj, rj, grid, np_pad, bufs, accumulate,
         ali, alf, *bufs, nreal, nchunks=np_pad // geom.CH, ntiles=ntiles,
         subsample=subsample, accumulate=accumulate, interpret=interpret,
         geom=geom,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "np_pad", "nb_pad", "geom", "nxt", "subsample",
+                     "accumulate", "interpret"),
+    donate_argnames=("out", "hx", "hz", "hc"),
+)
+def _batch_step(p_in, w_in, r_in, key_in, row0s, nrows, kb, xt0,
+                out, hx, hz, hc, *, grid, np_pad, nb_pad, geom, nxt,
+                subsample, accumulate, interpret):
+    """One whole fused-partition batch dispatch as a SINGLE program:
+    slice the batch straight out of the resident partitioned arrays,
+    derive channels (:func:`_prep_body`, sort skipped — the carried key
+    channel is already tile-grouped), align, deposit. Replaces the
+    round-1..4 chain of ~8 eager dispatches (slices, dst inits, nreal
+    reduce) plus three separate jit programs per batch — one program per
+    (geom, row rung, window width) instead of three, which also shrinks
+    the warm-up's program-deserialization bill (PERF.md §2b).
+
+    FUSED-PATH ONLY (inputs pre-scaled to pixels by ``prepartition``):
+    the pixel-scale multiply of the non-fused path must stay materialized
+    in its own dispatch, outside any program that derives window bases —
+    fusing ``pos * ppu`` into the base chain lets XLA FMA-contract the
+    mul+sub and flip a knife-edge ``ceil`` against the deposit kernel's
+    in-kernel recompute (the round-1 double-rounding lesson; see
+    ``_prep_body``). Here every position load is already a materialized
+    pixel value, so every base subtract is single-rounding.
+
+    ``row0s``/``nrows``/``kb``/``xt0`` are traced scalars: one compiled
+    program serves every batch/window of the same shape class. The slice
+    start is clamped to the array (a final batch short of its row rung
+    re-reads earlier rows); re-read front rows get key -1 and zero
+    weight, rows past the real span key ``ntiles`` — both excluded from
+    every tile run while keeping the key channel sorted."""
+    if nxt is None:
+        ntiles = _ntiles(grid, geom)
+    else:
+        gxp, gyp, gzp = _grid_pad(grid, geom)
+        ntiles = nxt * (gyp // geom.YTILE) * (gzp // TZ)
+    n = p_in.shape[0]
+    sl = min(nb_pad, n)
+    start = jnp.clip(row0s, 0, n - sl).astype(jnp.int32)
+    delta = row0s - start  # > 0 only when the slice ran off the array end
+    pp = jax.lax.dynamic_slice(p_in, (start, jnp.int32(0)), (sl, 3))
+    ww = jax.lax.dynamic_slice(w_in, (start,), (sl,))
+    rr = jax.lax.dynamic_slice(r_in, (start,), (sl,))
+    kj = jax.lax.dynamic_slice(key_in, (start,), (sl,)) - kb
+    if sl < nb_pad:  # tiny resident arrays: pad to the row rung
+        pad = nb_pad - sl
+        pp = jnp.pad(pp, ((0, pad), (0, 0)))
+        ww = jnp.pad(ww, (0, pad))
+        rr = jnp.pad(rr, (0, pad), constant_values=1.0)
+        kj = jnp.pad(kj, (0, pad), constant_values=ntiles)
+    rows = jnp.arange(nb_pad, dtype=jnp.int32)
+    valid = (rows >= delta) & (rows < delta + nrows)
+    ww = jnp.where(valid, ww, 0.0)
+    rr = jnp.where(valid, rr, 1.0)
+    # front rows sort below every real tile, tail rows above: the key
+    # channel stays ascending and no tile range covers either
+    kj = jnp.where(
+        rows < delta, jnp.int32(-1),
+        jnp.where(valid, kj, jnp.int32(ntiles)),
+    )
+    srcf, srci, starts, cnts, aoff = _prep_body(
+        pp, ww, rr, grid, np_pad, geom, nxt, kj, xt0
+    )
+    dstf = jnp.zeros((NF, np_pad), jnp.float32)
+    dsti = jnp.concatenate(
+        [
+            jnp.full((1, np_pad), ntiles - 1, jnp.int32),
+            jnp.full((2, np_pad), geom.HALO, jnp.int32),
+            jnp.zeros((1, np_pad), jnp.int32),
+        ]
+    )
+    alf, ali = _align_body(
+        starts, cnts, aoff, srcf, srci, dstf, dsti,
+        np_pad=np_pad, ntiles=ntiles, interpret=interpret,
+        geom=_fold_geom(geom),
+    )
+    nreal = jnp.sum(
+        (cnts + geom.CH - 1) // geom.CH, dtype=jnp.int32
+    ).reshape(1)
+    return _deposit_body(
+        ali, alf, out, hx, hz, hc, nreal, nchunks=np_pad // geom.CH,
+        ntiles=ntiles, subsample=subsample, accumulate=accumulate,
+        interpret=interpret, geom=geom,
     )
 
 
@@ -1459,6 +1563,18 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
 
         vol = vol0
         carry = None
+        # lag token pacing budget: a blocking one-element fetch per batch
+        # keeps the host at most one full batch ahead of the device (live
+        # transients <= 2 stream sets), but each fetch costs a tunnel RTT
+        # after the previous batch completes — for the many SMALL partial
+        # batches of a mixed-radius workload (one per bucket per window)
+        # the RTT dwarfs the batch's device time (~17 RTTs ~ 0.8 s of the
+        # round-4 render under high-latency weather). Fetches are instead
+        # taken whenever the UNPACED rows exceed half a batch: full
+        # batches still pace every time, small partials ride free, and
+        # the live-transient bound grows by at most half a batch's
+        # streams (within the window plan's ~1 GiB slack).
+        pend_rows = 0
         for xt0 in range(0, ntx, nper):
             tw = time.time()
             nxt = min(nper, ntx - xt0)
@@ -1490,51 +1606,6 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
                     nb_pad = _quant_rows(nb, batch)
                     kj = None
                     if device_in:
-                        # fused inputs are already pixel-scaled; never
-                        # multiply them again (even *1.0 would be an extra
-                        # full-batch copy in the timed loop)
-                        def _scaled(a):
-                            return (a if wtab is not None
-                                    else a * pixels_per_unit)
-
-                        if nb == batch:  # uniform shapes: one compile/batch
-                            ppj = _scaled(jax.lax.dynamic_slice(
-                                p_in, (row0 + s, 0), (batch, 3)
-                            ))
-                            wj = jax.lax.dynamic_slice(
-                                w_in, (row0 + s,), (batch,))
-                            rj = _scaled(jax.lax.dynamic_slice(
-                                r_in, (row0 + s,), (batch,)))
-                            if wtab is not None:
-                                kj = jax.lax.dynamic_slice(
-                                    key_in, (row0 + s,), (batch,)
-                                ) - kb
-                        else:  # final partial batch, zero-padded
-                            ppj = jnp.zeros(
-                                (nb_pad, 3), jnp.float32
-                            ).at[:nb].set(
-                                _scaled(jax.lax.dynamic_slice(
-                                    p_in, (row0 + s, 0), (nb, 3)
-                                ))
-                            )
-                            wj = jnp.zeros(nb_pad, jnp.float32).at[:nb].set(
-                                jax.lax.dynamic_slice(
-                                    w_in, (row0 + s,), (nb,))
-                            )
-                            rj = jnp.ones(nb_pad, jnp.float32).at[:nb].set(
-                                _scaled(jax.lax.dynamic_slice(
-                                    r_in, (row0 + s,), (nb,)))
-                            )
-                            if wtab is not None:
-                                # pad keys with the invalid sentinel: the
-                                # tail stays sorted and deposits nothing
-                                kj = jnp.full(
-                                    nb_pad, ntiles, jnp.int32
-                                ).at[:nb].set(
-                                    jax.lax.dynamic_slice(
-                                        key_in, (row0 + s,), (nb,)
-                                    ) - kb
-                                )
                         # valid pairs <= nb_pad always (1-slot assignment:
                         # each particle emits at most one pair), so the
                         # stream is sized from the batch size — no counting
@@ -1542,6 +1613,65 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
                         # by full batches
                         need = nb_pad + geom.CH * ntiles + ACHUNK + geom.CH
                         np_pad = (need + ACHUNK - 1) // ACHUNK * ACHUNK
+                    if device_in and wtab is not None:
+                        # fused path: ONE program per batch (slice straight
+                        # from the resident partitioned arrays — inputs
+                        # already pixel-scaled; never multiply them again).
+                        # The lag token is a tiny slice enqueued BEFORE the
+                        # batch program: fetching it blocks exactly until
+                        # the PREVIOUS batch finished (in-order execution)
+                        tok = jax.lax.dynamic_slice(
+                            w_in, (jnp.int32(row0 + s),), (1,)
+                        )
+                        bufs = _batch_step(
+                            p_in, w_in, r_in, key_in,
+                            jnp.int32(row0 + s), jnp.int32(nb),
+                            jnp.int32(kb),
+                            jnp.int32(0 if xwin is None else xwin[0]),
+                            *bufs, grid=grid3, np_pad=np_pad,
+                            nb_pad=nb_pad, geom=geom,
+                            nxt=None if xwin is None else xwin[1],
+                            subsample=subsample, accumulate=not first,
+                            interpret=interpret,
+                        )
+                        first = False
+                        pend_rows += nb_pad
+                        if pend_rows >= batch // 2:
+                            float(tok[0])
+                            pend_rows = 0
+                        continue
+                    if device_in:
+                        # non-fused device path (single-class workloads):
+                        # the pixel-scale multiply stays in its own eager
+                        # dispatch, materialized OUTSIDE any program that
+                        # derives window bases (_prep_body key-contraction
+                        # contract)
+                        if nb == batch:  # uniform shapes: one compile/batch
+                            ppj = jax.lax.dynamic_slice(
+                                p_in, (row0 + s, 0), (batch, 3)
+                            ) * pixels_per_unit
+                            wj = jax.lax.dynamic_slice(
+                                w_in, (row0 + s,), (batch,))
+                            rj = jax.lax.dynamic_slice(
+                                r_in, (row0 + s,), (batch,)
+                            ) * pixels_per_unit
+                        else:  # final partial batch, zero-padded
+                            ppj = jnp.zeros(
+                                (nb_pad, 3), jnp.float32
+                            ).at[:nb].set(
+                                jax.lax.dynamic_slice(
+                                    p_in, (row0 + s, 0), (nb, 3)
+                                ) * pixels_per_unit
+                            )
+                            wj = jnp.zeros(nb_pad, jnp.float32).at[:nb].set(
+                                jax.lax.dynamic_slice(
+                                    w_in, (row0 + s,), (nb,))
+                            )
+                            rj = jnp.ones(nb_pad, jnp.float32).at[:nb].set(
+                                jax.lax.dynamic_slice(
+                                    r_in, (row0 + s,), (nb,)
+                                ) * pixels_per_unit
+                            )
                     else:
                         # dedicated-transfer-queue analog (reference
                         # vulkan_support.cpp:204-237): uploads are enqueued

@@ -36,6 +36,33 @@ def test_deposit_align_kernel_smoke_g8():
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
 
 
+def test_fused_batch_step_clamped_slice():
+    """Default-tier pin of the ``_batch_step`` clamped-slice contract: a
+    final batch whose row rung runs past the end of the partitioned array
+    slides its slice start backward (re-reading already-deposited rows)
+    and must mask those front rows out with key -1 / zero weight. Every
+    row here is eligible (no trash tail), two classes, batch=512 with a
+    300-row final class — rung 512 > 300 forces delta > 0 on the G8
+    batch. Exact f32-round-off parity with the oracle. Uses jnp inputs so
+    the device-resident fused path (prepartition + _batch_step) runs."""
+    import jax.numpy as jnp
+
+    rng = np.random.Generator(np.random.Philox(29))
+    n, ppu = 700, 16.0
+    grid = (16, 16, 16)
+    pos = rng.random((n, 3)).astype(np.float32)
+    w = np.ones(n, np.float32)
+    rpx = np.concatenate([
+        rng.uniform(0.6, 2.0, 400), rng.uniform(2.05, 2.95, 300),
+    ]).astype(np.float32)
+    r = (rpx / ppu).astype(np.float32)
+    got = np.asarray(splat_pallas.splat_volume(
+        jnp.asarray(pos), jnp.asarray(w), jnp.asarray(r), ppu, grid,
+        batch=512, interpret=True))
+    want = splat_volume_oracle(pos, w, r, ppu, grid)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=2e-6)
+
+
 @pytest.mark.slow
 def test_pallas_matches_oracle_interpret():
     rng = np.random.Generator(np.random.Philox(11))
