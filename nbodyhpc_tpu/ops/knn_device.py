@@ -48,6 +48,7 @@ from .knn_pallas import (
     RFETCH,
     ZSEG,
     _kpad,
+    _kseg,
     _run_knn,
     _run_knn_topk,
     _topk_blocks,
@@ -203,19 +204,23 @@ def _repack_rows(starts, lens, geom, npad):
     return prow, flagged
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "periodic", "npad"))
-def _build_static_tables_fullz(offsets, dims, periodic, npad):
-    """[ncol, 128] i32 run rows (+ [ncol] flagged) for the FULLZ geometry.
+@functools.partial(jax.jit, static_argnames=("dims", "periodic"))
+def _fullz_logical_runs(offsets, dims, periodic):
+    """Geometry-independent FULLZ run table: per column the 6 logical
+    (start, len) slices (3 neighbor-x x up-to-2 wrapped-y segments), plus
+    the max per-neighbor-x slice length — the statistic ``tree_plan``
+    sizes the RCAP rung from.
 
     Piece p = cell column p = (x, y): the 27-cell neighborhoods of every
     query in the column union to the 3x3 neighbor columns over FULL z.
     In the z-major cell order that is, per neighbor x, ONE contiguous
     gapless slice of the sorted point array spanning y in [y-1, y+1]
-    (a wrapped y interval splits in two) — ~3-6 large DMAs per piece
-    instead of ZSEG's ~18-36 small ones, zero dead lanes, and duplicates
-    are impossible by construction (distinct x -> disjoint slices; one
-    slice is a contiguous range). The reference's analog of this
-    exactness argument is its per-leaf full scan, kdtree_opt.hpp:105-248.
+    (a wrapped y interval splits in two) — a handful of large DMAs per
+    piece instead of ZSEG's ~18-36 small ones, zero dead lanes, and
+    duplicates are impossible by construction (distinct x -> disjoint
+    slices; one slice is a contiguous range). The reference's analog of
+    this exactness argument is its per-leaf full scan,
+    kdtree_opt.hpp:105-248.
     """
     Cx, Cy, Cz = (int(v) for v in dims)
     ncol = Cx * Cy
@@ -252,7 +257,26 @@ def _build_static_tables_fullz(offsets, dims, periodic, npad):
             lens_l.append(jnp.where(use, e - s, 0))
     starts = jnp.stack(starts_l, 1)  # [ncol, 6]
     lens = jnp.stack(lens_l, 1)
-    return _repack_rows(starts, lens, FULLZ, npad)
+    # per-neighbor-x slice length = its (up to) 2 wrapped-y segments
+    slice_len = lens[:, 0::2] + lens[:, 1::2]  # [ncol, 3]
+    return starts, lens, jnp.max(slice_len)
+
+
+_repack_rows_j = functools.partial(
+    jax.jit, static_argnames=("geom", "npad")
+)(_repack_rows)
+
+
+def _build_static_tables_fullz(offsets, dims, periodic, npad, geom=None):
+    """FULLZ run rows (+ flagged) at a given (or largest) geometry rung."""
+    from .knn_pallas import FULLZ
+
+    starts, lens, _ = _fullz_logical_runs(
+        offsets, tuple(int(v) for v in dims), bool(periodic)
+    )
+    return _repack_rows_j(
+        starts, lens, geom=geom if geom is not None else FULLZ, npad=npad
+    )
 
 
 def static_piece_tables(tree, tree_dev):
@@ -279,14 +303,20 @@ def tree_plan(tree, tree_dev):
     """Cached per-tree kernel plan: (geom, pair, zseg, nseg, prow, flagged).
 
     Prefers the FULLZ geometry (pieces = single full-z cell columns,
-    ~3-6 large DMAs each — the round-2 ablation found the ZSEG kernel
-    DMA-issue-bound) whenever the tree's columns fit its candidate
-    budget: the plan builds the FULLZ tables (cheap, [ncol] rows) and
-    falls back to ZSEG if more than 1% of columns overflow their
-    NR * RCAP lanes (dense trees: > ~1.4k points per column), if a
-    periodic x/y dimension has < 3 cells (wrap alias), or if the padded
-    array is shorter than one FULLZ fetch.
+    a handful of large DMAs each — the round-2 ablation found the ZSEG
+    kernel DMA-issue-bound) whenever the tree's columns fit a candidate
+    budget rung: the slot width RCAP is the smallest rung whose 3 slots
+    per neighbor-x cover the tree's measured max 3-column slice (one
+    scalar sync), so NCAND — and with it every NCAND-wide kernel cost:
+    distance evaluation, dblk traffic, each extract-min top-k pass — is
+    sized to THIS tree instead of a worst-case constant (a 1e7-point
+    uniform tree rides the 1024 rung at NCAND = 9216 instead of 18432).
+    Falls back to ZSEG if more than 1% of columns overflow the largest
+    rung (dense trees), if a periodic x/y dimension has < 3 cells (wrap
+    alias), or if the padded array is shorter than one fetch.
     """
+    from .knn_pallas import FULLZ_RCAP_RUNGS, fullz_geom
+
     cached = getattr(tree, "_kernel_plan", None)
     if cached is not None:
         return cached
@@ -294,16 +324,26 @@ def tree_plan(tree, tree_dev):
     npad = int(tree.xyz.shape[1])
     _, _, offsets = tree_dev
     plan = None
-    fullz_ok = npad >= FULLZ.RFETCH and (
+    fullz_ok = npad >= fullz_geom(FULLZ_RCAP_RUNGS[0]).RFETCH and (
         not tree.periodic or (Cx >= 3 and Cy >= 3)
     )
     if fullz_ok:
-        prow, flagged = _build_static_tables_fullz(
-            offsets, (Cx, Cy, Cz), bool(tree.periodic), npad
+        starts, lens, maxsl_d = _fullz_logical_runs(
+            offsets, (Cx, Cy, Cz), bool(tree.periodic)
         )
+        maxsl = int(maxsl_d)  # one tiny sync per tree
+        geom = None
+        for rcap in FULLZ_RCAP_RUNGS:
+            if maxsl <= 3 * rcap and npad >= fullz_geom(rcap).RFETCH:
+                geom = fullz_geom(rcap)
+                break
+        if geom is None:
+            # a few over-dense columns: largest rung + per-column flags
+            geom = fullz_geom(FULLZ_RCAP_RUNGS[-1])
+        prow, flagged = _repack_rows_j(starts, lens, geom=geom, npad=npad)
         frac = float(jnp.mean(flagged.astype(jnp.float32)))  # one sync/tree
         if frac <= 0.01:
-            plan = (FULLZ, False, Cz, 1, prow, flagged)
+            plan = (geom, False, Cz, 1, prow, flagged)
     if plan is None:
         zseg, nseg, _, _ = piece_geometry(tree)
         prow, flagged = static_piece_tables(tree, tree_dev)
@@ -407,7 +447,7 @@ def _stage_pack(qs, dpid, slot_in_piece, blk_of, slot_base, gslot, map_bg,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "meta", "geom", "zfull"))
-def _epilogue(dk, sk, flat, runs_q, qs, qcs, flag_q, index, k, meta,
+def _epilogue(dk, sk, flat, runs_q, qs, qcs, flag_q, ovf, index, k, meta,
               geom=ZSEG, zfull=False):
     """Elementwise epilogue on device: decode tree slots -> global indices,
     r=1-cube box-distance convergence bound (host analog:
@@ -458,7 +498,10 @@ def _epilogue(dk, sk, flat, runs_q, qs, qcs, flag_q, index, k, meta,
             )
             db = jnp.minimum(db, jnp.maximum(jnp.minimum(dlo, dhi), 0.0))
     kth = dk_q[:, -1]
-    conv = ((kth < db * db) | covered) & ~flag_q
+    # ovf: segmented-top-k overflow flag per block slot (one segment
+    # supplied its whole shortlist — extraction may be incomplete); such
+    # rows go to the exact ladder like statically flagged pieces
+    conv = ((kth < db * db) | covered) & ~flag_q & ~ovf[flat]
     return jnp.sqrt(dk_q), gidx, conv
 
 
@@ -664,22 +707,27 @@ def query_blocks_device(tree, tree_dev, queries, k: int,
             padi(gslot), jnp.asarray(map_bg), prow, nbpad=nbpad, ng=geom.G,
         )
         t0 = _tr("B stage_pack", t0, qblk)
-        dk_l, sk_l = [], []
+        dk_l, sk_l, ov_l = [], [], []
         b0 = 0
         for msize in msizes:
             if k <= 128:
                 # fused kernel: distances + exact top-k in VMEM, skipping
                 # the [msize, QB, NCAND] HBM block (2.4 GB at msize=512)
                 # and the sort-based top_k pass entirely
+                ksg = _kseg(_kpad(int(k)), geom.NCAND)
                 dk3, sk3 = _run_knn_topk(
                     jax.lax.slice_in_dim(runs, b0, b0 + msize),
                     jax.lax.slice_in_dim(qblk, b0, b0 + msize),
                     xyz, nblocks=msize, kpad=_kpad(int(k)),
                     periodic=periodic, box=box, interpret=interpret,
-                    geom=geom,
+                    geom=geom, kseg=ksg,
                 )
                 dk = dk3[:, :, : int(k)].reshape(-1, int(k))
                 sk = sk3[:, :, : int(k)].reshape(-1, int(k))
+                ov_l.append(
+                    (sk3[:, :, 127] > 0).reshape(-1) if ksg
+                    else jnp.zeros(msize * QB, bool)
+                )
                 t0 = _tr(f"B fused kernel msize={msize}", t0, dk)
             else:
                 d2 = _run_knn(
@@ -690,6 +738,7 @@ def query_blocks_device(tree, tree_dev, queries, k: int,
                 )
                 t0 = _tr(f"B kernel msize={msize}", t0, d2)
                 dk, sk = _topk_blocks(d2, int(k))
+                ov_l.append(jnp.zeros(msize * QB, bool))
                 t0 = _tr(f"B topk msize={msize}", t0, dk)
             pace(dk)
             dk_l.append(dk)
@@ -697,9 +746,10 @@ def query_blocks_device(tree, tree_dev, queries, k: int,
             b0 += msize
         dk = jnp.concatenate(dk_l) if len(dk_l) > 1 else dk_l[0]
         sk = jnp.concatenate(sk_l) if len(sk_l) > 1 else sk_l[0]
+        ovf = jnp.concatenate(ov_l) if len(ov_l) > 1 else ov_l[0]
         flag_q = flagged[pmeta[1][dpid]]
         d, gi, conv = _epilogue(
-            dk, sk, flat, runs_q, qs, qcs, flag_q, index, int(k), meta,
+            dk, sk, flat, runs_q, qs, qcs, flag_q, ovf, index, int(k), meta,
             geom=geom, zfull=not pair,
         )
         t0 = _tr("B epilogue", t0, d)

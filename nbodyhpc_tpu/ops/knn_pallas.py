@@ -17,6 +17,7 @@ standard escalation ladder (ops/knn.py) finishes them.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -76,7 +77,21 @@ class KGeom(NamedTuple):
 
 
 ZSEG = KGeom(G=G, NR=NRUNS, RCAP=RCAP)
-FULLZ = KGeom(G=12, NR=6, RCAP=2048)
+# FULLZ family: NR = 9 physical slots (3 per neighbor-x slice) so the slot
+# width RCAP can be sized to the TREE (tree_plan picks the smallest rung
+# whose 3 slots cover the measured max 3-column slice) instead of paying a
+# worst-case 12288-lane budget on every block: every kernel cost that
+# scales with NCAND — the distance evaluation, the dblk writes, and every
+# extract-min top-k pass — shrinks with it (PERF.md §2: the fixed floor
+# is NCAND-wide work). FULLZ is the largest rung (compat alias).
+FULLZ_RCAP_RUNGS = (512, 1024, 2048)
+
+
+def fullz_geom(rcap: int) -> KGeom:
+    return KGeom(G=12, NR=9, RCAP=rcap)
+
+
+FULLZ = fullz_geom(FULLZ_RCAP_RUNGS[-1])
 
 
 def _start_run_dmas(runs_ref, xyz_ref, cand, sems, geom):
@@ -186,15 +201,33 @@ def _knn_kernel(runs_ref, q_ref, xyz_ref, out_ref, cand, cxyz_s, valid_s,
 
 def _knn_topk_kernel(runs_ref, q_ref, xyz_ref, dk_ref, sk_ref, cand, dblk,
                      cxyz_s, valid_s, sems, *, geom, periodic: bool, box,
-                     kpad: int):
+                     kpad: int, kseg: int = 0):
     """Fused candidate distances + exact top-k, never leaving VMEM.
 
-    The [QB, NCAND] distance block stays in a VMEM scratch and ``kpad``
-    extract-min passes pull out the smallest entries in ascending order
-    (ties resolved to the lowest candidate slot, exactly ``lax.top_k``'s
-    tie rule, so the fused and two-stage paths are interchangeable).
-    Replaces the XLA sort-based ``top_k`` (~1.2 us/row, PERF.md §2) AND
-    the [nblocks, QB, NCAND] HBM round trip (2.4 GB per 512-block macro).
+    The [QB, NCAND] distance block stays in a VMEM scratch and the
+    smallest entries are pulled out in ascending order (ties resolved to
+    the lowest candidate slot, exactly ``lax.top_k``'s tie rule, so the
+    fused and two-stage paths are interchangeable). Replaces the XLA
+    sort-based ``top_k`` (~1.2 us/row, PERF.md §2) AND the
+    [nblocks, QB, NCAND] HBM round trip (2.4 GB per 512-block macro).
+
+    ``kseg == 0``: ``kpad`` full-width extract-min passes (each pass
+    re-reads/re-writes the whole block — the round-3 floor).
+
+    ``kseg > 0``: two-level extraction. NCAND lanes are viewed as
+    W = NCAND/128 slices of 128 "segments" (segment = lane mod 128, so
+    z-adjacent candidates round-robin across segments); ``kseg`` passes
+    extract each segment's smallest entries into a [QB, kseg*128]
+    shortlist (value + true lane), then ``kpad`` cheap passes extract
+    the global top-k from the narrow shortlist, tie-breaking on the TRUE
+    lane so the ``lax.top_k`` rule is preserved exactly. Full-width
+    passes drop from kpad to kseg. EXACTNESS GUARD: a row whose top-kpad
+    takes ``kseg`` entries from one segment may be missing that
+    segment's (kseg+1)-th candidate; such rows (adversarially clustered
+    — a random row needs >= kseg of its top-k in one lane-residue class,
+    P ~ 1e-4) raise the overflow flag in ``sk`` lane 127 and both
+    epilogues route them to the exact ladder. Requires kpad <= 64 (lane
+    127 must be a filler lane).
 
     Rows with fewer than ``kpad`` finite candidates may repeat an
     already-extracted slot on the inf tail (there is no sentinel above
@@ -210,19 +243,67 @@ def _knn_topk_kernel(runs_ref, q_ref, xyz_ref, dk_ref, sk_ref, cand, dblk,
             geom, periodic, box
         )
 
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (QB, geom.NCAND), 1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (QB, 128), 1)
     outd = jnp.full((QB, 128), jnp.inf, jnp.float32)
     outi = jnp.zeros((QB, 128), jnp.int32)
+
+    if kseg == 0:
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (QB, geom.NCAND), 1)
+        for i in range(kpad):
+            d = dblk[...]
+            m = jnp.min(d, axis=1, keepdims=True)
+            am = jnp.min(
+                jnp.where(d == m, lanes, geom.NCAND), axis=1, keepdims=True
+            )
+            outd = jnp.where(cols == i, m, outd)
+            outi = jnp.where(cols == i, am, outi)
+            dblk[...] = jnp.where(lanes == am, jnp.inf, d)
+        dk_ref[0] = outd
+        sk_ref[0] = outi
+        return
+
+    assert kpad <= 64, "segmented top-k needs sk lane 127 free"
+    W = geom.NCAND // 128
+    # phase 1: per-segment top-kseg shortlist (kseg full-width passes)
+    short_d, short_i = [], []
+    for j in range(kseg):
+        m = dblk[:, 0:128]
+        wid = jnp.zeros((QB, 128), jnp.int32)
+        for w in range(1, W):
+            sl = dblk[:, w * 128 : (w + 1) * 128]
+            c = sl < m  # strict: first occurrence wins (lowest lane)
+            m = jnp.where(c, sl, m)
+            wid = jnp.where(c, w, wid)
+        for w in range(W):
+            sl = dblk[:, w * 128 : (w + 1) * 128]
+            dblk[:, w * 128 : (w + 1) * 128] = jnp.where(
+                wid == w, jnp.inf, sl
+            )
+        short_d.append(m)
+        short_i.append(
+            wid * 128 + jax.lax.broadcasted_iota(jnp.int32, (QB, 128), 1)
+        )
+    SD = jnp.concatenate(short_d, axis=1)  # [QB, kseg*128]
+    SI = jnp.concatenate(short_i, axis=1)
+
+    # phase 2: global top-kpad from the narrow shortlist
+    seg_iota = jax.lax.broadcasted_iota(jnp.int32, (QB, 128), 1)
+    cnt = jnp.zeros((QB, 128), jnp.int32)
     for i in range(kpad):
-        d = dblk[...]
-        m = jnp.min(d, axis=1, keepdims=True)
+        m = jnp.min(SD, axis=1, keepdims=True)
+        # tie-break on the TRUE lane (shortlist order is (pass, segment),
+        # not lane order)
         am = jnp.min(
-            jnp.where(d == m, lanes, geom.NCAND), axis=1, keepdims=True
+            jnp.where(SD == m, SI, geom.NCAND), axis=1, keepdims=True
         )
         outd = jnp.where(cols == i, m, outd)
         outi = jnp.where(cols == i, am, outi)
-        dblk[...] = jnp.where(lanes == am, jnp.inf, d)
+        SD = jnp.where(SI == am, jnp.inf, SD)
+        cnt = cnt + jnp.where(
+            jnp.isfinite(m) & (seg_iota == jax.lax.rem(am, 128)), 1, 0
+        )
+    ovf = (jnp.max(cnt, axis=1, keepdims=True) >= kseg).astype(jnp.int32)
+    outi = jnp.where(cols == 127, ovf, outi)
     dk_ref[0] = outd
     sk_ref[0] = outi
 
@@ -275,19 +356,37 @@ def _kpad(k: int) -> int:
     return p
 
 
+def _kseg(kpad: int, ncand: int) -> int:
+    """Segment-shortlist depth for the two-level fused top-k (0 = plain
+    kpad-pass extraction). Env ``NBODYHPC_KNN_SEGTOPK`` overrides (0
+    disables, N forces depth N — the on-chip ablation knob). Default: 6
+    full-width passes instead of kpad when the workload is wide enough
+    for the narrow phase-2 to be a win and lane 127 is free for the
+    overflow flag."""
+    env = os.environ.get("NBODYHPC_KNN_SEGTOPK")
+    if env is not None:
+        v = int(env)
+        return 0 if v <= 0 else min(v, kpad)
+    if 8 <= kpad <= 64 and ncand >= 4096:
+        return 6
+    return 0
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "nblocks", "kpad", "periodic", "box", "interpret", "geom"
+        "nblocks", "kpad", "periodic", "box", "interpret", "geom", "kseg"
     ),
 )
 def _run_knn_topk(runs, qblk, xyz, nblocks, kpad, periodic, box, interpret,
-                  geom: KGeom = ZSEG):
+                  geom: KGeom = ZSEG, kseg: int = 0):
     """Fused kernel: (dk [nblocks, QB, 128] f32 ascending, sk i32 candidate
-    slots); lanes >= kpad are inf/0 filler. Requires k <= 128 (larger k
+    slots); lanes >= kpad are inf/0 filler (with ``kseg > 0``, sk lane
+    127 carries the segment-overflow flag). Requires k <= 128 (larger k
     takes the two-stage _run_knn + _topk_blocks path)."""
     kernel = functools.partial(
-        _knn_topk_kernel, geom=geom, periodic=periodic, box=box, kpad=kpad
+        _knn_topk_kernel, geom=geom, periodic=periodic, box=box, kpad=kpad,
+        kseg=kseg,
     )
     return pl.pallas_call(
         kernel,
@@ -666,16 +765,19 @@ def query_blocks(tree, tree_dev, queries, k: int, batch_blocks: int = 1024,
             "nblocks": nblocks, "nb_pad": nb_pad, "msize": msize,
             "d2_s": np.empty((nq, k), np.float32),
             "sel_s": np.empty((nq, k), np.int32),
+            "ovf_s": np.zeros(nq, bool),
             "left": (nb_pad + msize - 1) // msize,
         }
 
-    def drain(st, b0, b1, dk, sk):
+    def drain(st, b0, b1, dk, sk, ov):
         sl = st["qmap"][b0 * QB : b1 * QB]
         sl = sl[: max(min(st["nblocks"], b1) - b0, 0) * QB]
         real = sl >= 0
         if real.any():
             st["d2_s"][sl[real]] = np.asarray(dk)[: sl.size][real]
             st["sel_s"][sl[real]] = np.asarray(sk)[: sl.size][real]
+            if ov is not None:
+                st["ovf_s"][sl[real]] = np.asarray(ov)[: sl.size][real]
         st["left"] -= 1
         if st["left"] == 0:
             finish(st)
@@ -734,6 +836,10 @@ def query_blocks(tree, tree_dev, queries, k: int, batch_blocks: int = 1024,
         kth2 = d2_s[:, -1].astype(np.float64)
         conv = (kth2 < db * db) | covered
         conv &= ~st["flagged"][piece_of_q]
+        # segmented top-k overflow (one segment supplied its whole
+        # shortlist): the row's extraction may be incomplete — exact
+        # ladder finishes it
+        conv &= ~st["ovf_s"]
         if periodic and (int(dims[0]) < 3 or int(dims[1]) < 3):
             # wrapped 3x3 neighbor columns alias when an x/y dimension has
             # fewer than 3 cells, duplicating candidates — defer such
@@ -757,14 +863,17 @@ def query_blocks(tree, tree_dev, queries, k: int, batch_blocks: int = 1024,
         for b0 in range(0, st["nb_pad"], st["msize"]):
             b1 = b0 + st["msize"]
             if k <= 128:
+                ksg = _kseg(_kpad(k), NCAND)
                 dk3, sk3 = _run_knn_topk(
                     jnp.asarray(st["runs"][b0:b1]),
                     jnp.asarray(st["qblk"][b0:b1]),
                     xyz, nblocks=st["msize"], kpad=_kpad(k),
                     periodic=periodic, box=box, interpret=interpret,
+                    kseg=ksg,
                 )
                 dk = dk3[:, :, :k].reshape(-1, k)
                 sk = sk3[:, :, :k].reshape(-1, k)
+                ov = (sk3[:, :, 127] > 0).reshape(-1) if ksg else None
             else:
                 d2 = _run_knn(
                     jnp.asarray(st["runs"][b0:b1]),
@@ -773,12 +882,13 @@ def query_blocks(tree, tree_dev, queries, k: int, batch_blocks: int = 1024,
                     interpret=interpret,
                 )
                 dk, sk = _topk_blocks(d2, k)
+                ov = None
             # drain the PREVIOUS macro only after this one is enqueued: the
             # blocking host transfer (and the next chunk's host prep)
             # overlaps the device compute
             if pending is not None:
                 drain(*pending)
-            pending = (st, b0, b1, dk, sk)
+            pending = (st, b0, b1, dk, sk, ov)
     if pending is not None:
         drain(*pending)
     return d2_out, slot_out, conv_out, (cs_out, pv_out)

@@ -145,14 +145,19 @@ def test_fullz_tables_cover_column_neighborhoods_exactly(periodic):
 
 
 def test_tree_plan_prefers_fullz_and_falls_back_when_dense():
-    """Sparse uniform trees take FULLZ (columns fit the candidate budget);
-    a tree whose columns exceed NR * RCAP lanes keeps ZSEG."""
+    """Sparse uniform trees take a FULLZ rung (columns fit the candidate
+    budget; the RCAP rung is sized to the tree's measured max 3-column
+    slice); a tree whose columns exceed the largest rung keeps ZSEG."""
     from nbodyhpc_tpu.ops.knn_device import tree_plan
-    from nbodyhpc_tpu.ops.knn_pallas import FULLZ, ZSEG
+    from nbodyhpc_tpu.ops.knn_pallas import FULLZ, ZSEG, fullz_geom
 
     pts, t = _tree(4000, 7, True)
-    geom = tree_plan(t._tree, t._dev)[0]
-    assert geom is FULLZ
+    plan = tree_plan(t._tree, t._dev)
+    geom, pair = plan[0], plan[1]
+    assert not pair and geom.NR == FULLZ.NR
+    # a 4000-point tree's columns are tiny: the smallest rung must win
+    assert geom.RCAP < FULLZ.RCAP
+    assert geom == fullz_geom(geom.RCAP)
 
     # all points in one thin column: its 3-column slice is the whole array,
     # far past FULLZ's 12k-lane budget once n > NR * RCAP

@@ -189,3 +189,77 @@ def test_knn_topk_kernel_smoke_fullz():
         np.testing.assert_array_equal(s0 + sh + sk[q] % geom.RCAP,
                                       cand[order])
     assert not np.isfinite(dk[16:]).any()  # pad rows retire to inf
+
+
+def test_knn_topk_kernel_segmented_matches_and_flags():
+    """Default-tier smoke of the two-level (segmented) fused top-k: k=8
+    activates kseg (kpad >= 8), results must match the numpy oracle with
+    the lax.top_k tie rule, and a row whose top-k clusters in one
+    lane-residue segment must raise the overflow flag (sk lane 127) —
+    the exactness guard that routes such rows to the ladder."""
+    import jax.numpy as jnp
+
+    from nbodyhpc_tpu.ops.knn_pallas import KGeom, _kpad, _kseg, \
+        _run_knn_topk
+
+    # small interpret-friendly geometry in the FULLZ family shape (the
+    # full-size unroll takes minutes under the Pallas interpreter);
+    # NCAND = 4608 >= 4096 keeps the default kseg policy active
+    geom = KGeom(G=4, NR=9, RCAP=512)
+    kpad = _kpad(8)
+    assert _kseg(kpad, geom.NCAND) == 6  # default policy activates here
+    rng = np.random.Generator(np.random.Philox(99))
+    npad = geom.RFETCH + 1024
+    xyz = np.full((4, npad), 10.0, np.float32)
+    xyz[:3, :1200] = rng.random((3, 1200)) + 2.0  # far-ish spread
+    # adversarial cluster for piece 1: the 8 nearest all share lane
+    # residue 5 (lanes 5, 133, ..., 901 of a 1024-long logical run —
+    # split across two RCAP=512 slots, residue preserved: 512 % 128 == 0)
+    near = 5 + 128 * np.arange(8)
+    xyz[:3, near] = 0.001 * rng.random((3, 8))
+    xyz[3] = 0.0
+
+    runs = np.zeros((1, geom.G, 128), np.int32)
+    # piece 0: a normal spread run; piece 1: the clustered 1024-long run
+    # as two physical slots
+    runs[0, 0, 0] = 1024 // 128 * 128
+    runs[0, 0, geom.NR] = 150
+    runs[0, 0, 2 * geom.NR] = 0
+    runs[0, 1, 0] = 0
+    runs[0, 1, geom.NR] = 512
+    runs[0, 1, 2 * geom.NR] = 0
+    runs[0, 1, 1] = 512
+    runs[0, 1, geom.NR + 1] = 512
+    runs[0, 1, 2 * geom.NR + 1] = 0
+
+    qblk = np.zeros((1, 128, 4), np.float32)
+    qblk[0, :, :3] = rng.random((128, 3)) + 2.0
+    qblk[0, :, 3] = -1.0
+    qblk[0, :6, 3] = 0.0     # piece 0 queries
+    qblk[0, 6, :3] = 0.0     # piece 1 query at the cluster
+    qblk[0, 6, 3] = 1.0
+
+    dk, sk = _run_knn_topk(
+        jnp.asarray(runs), jnp.asarray(qblk), jnp.asarray(xyz),
+        nblocks=1, kpad=kpad, periodic=False, box=(0.0, 0.0, 0.0),
+        interpret=True, geom=geom, kseg=6,
+    )
+    dk = np.asarray(dk)[0]
+    sk = np.asarray(sk)[0]
+
+    # piece-0 queries: exact parity with the oracle, no overflow flag
+    cand = np.arange(1024, 1024 + 150)
+    for q in range(6):
+        d2 = ((xyz[:3, cand] - qblk[0, q, :3][:, None]) ** 2).sum(axis=0)
+        order = np.argsort(d2, kind="stable")[:8]
+        np.testing.assert_allclose(dk[q, :8], d2[order], rtol=1e-6)
+        np.testing.assert_array_equal(sk[q, :8], order)
+        assert sk[q, 127] == 0, "spread row must not flag"
+
+    # piece-1 query: 8 nearest share one segment > kseg=6 -> flagged
+    assert sk[6, 127] == 1, "clustered row must raise the overflow flag"
+    # ...and its extracted prefix is still correct as far as it goes
+    # (first kseg entries of the hot segment come out in order)
+    d2c = ((xyz[:3, :1024] - qblk[0, 6, :3][:, None]) ** 2).sum(axis=0)
+    want = np.sort(d2c)[:6]
+    np.testing.assert_allclose(dk[6, :6], want, rtol=1e-6)
