@@ -65,16 +65,36 @@ def _cap(cnt: int, n: int) -> int:
 
 
 @functools.lru_cache(maxsize=64)
-def _count_fn(dim: int, L: float):
+def _count_all_fn(box):
+    """ALL six per-dimension clone counts from the ORIGINAL array in one
+    program — one host sync for the whole augmentation instead of one per
+    dimension (each sync is a weather-exposed tunnel round trip;
+    VERDICT r4 #6). The dim-sequential semantics are reproduced by row
+    multiplicities: a clone keeps its source's other-dim coordinates and
+    radius, so after processing dim d a row exists with multiplicity
+    prod_{d' <= d} (1 + hi_d' + lo_d') and dim d's clone count is
+    sum(mult_before_d * mask_d). Capacity-pad rows never enter (they are
+    appended with radius 0 / box-center positions and cross no face)."""
     import jax
     import jax.numpy as jnp
 
     def count(positions, radii):
-        x = positions[:, dim]
-        return jnp.stack([
-            jnp.sum(x + radii > L, dtype=jnp.int32),
-            jnp.sum(x - radii < 0.0, dtype=jnp.int32),
-        ])
+        mult = jnp.ones(positions.shape[0], jnp.int32)
+        out = []
+        for dim in range(3):
+            L = box[dim]
+            if L <= 0:
+                out.append(jnp.zeros(2, jnp.int32))
+                continue
+            x = positions[:, dim]
+            hi = (x + radii > L).astype(jnp.int32)
+            lo = (x - radii < 0.0).astype(jnp.int32)
+            out.append(jnp.stack([
+                jnp.sum(mult * hi, dtype=jnp.int32),
+                jnp.sum(mult * lo, dtype=jnp.int32),
+            ]))
+            mult = mult * (1 + hi + lo)
+        return jnp.stack(out)
 
     return jax.jit(count)
 
@@ -143,10 +163,12 @@ def augment_points_periodic_device(positions, weights, radii, box_size,
 
     Identical dim-sequential clone semantics and output ordering (hi-face
     clones then lo-face clones per dimension, ascending source index).
-    Ghost counts are data-dependent, so each dimension pays one small host
-    sync to size the clone gathers; the gather/append itself is ONE jitted
-    program per dimension with clone capacity rounded up to
-    ``_CAP_QUANTUM``, so program shapes recur across runs and persist in
+    Ghost counts are data-dependent, so the augmentation pays ONE small
+    host sync up front — all six per-dimension counts are predicted from
+    the original array by multiplicity products (see ``_count_all_fn``) —
+    to size the clone gathers; the gather/append itself is ONE jitted
+    program per dimension with clone capacity rounded up to a quantum,
+    so program shapes recur across runs and persist in
     the compile cache instead of recompiling for every count. Capacity
     padding rows are inert (weight 0, radius 0, box-center position —
     they deposit no mass and never re-clone in a later dimension):
@@ -160,14 +182,14 @@ def augment_points_periodic_device(positions, weights, radii, box_size,
     invariant applies to the per-voxel deposit/query loops, not to a
     one-off boundary compaction).
     """
+    box = tuple(float(v) for v in box_size)
+    counts = np.asarray(_count_all_fn(box)(positions, radii))  # ONE sync
     for dim in range(3):
-        L = float(box_size[dim])
+        L = box[dim]
         if L <= 0:
             continue
         n = positions.shape[0]
-        nhi, nlo = (int(v) for v in np.asarray(
-            _count_fn(dim, L)(positions, radii)
-        ))
+        nhi, nlo = int(counts[dim, 0]), int(counts[dim, 1])
         if not (nhi or nlo):
             continue
         cap_hi, cap_lo = _cap(nhi, n), _cap(nlo, n)

@@ -273,3 +273,34 @@ def test_renderer_cache():
     r3 = get_point_renderer((16, 16), subsample_factor=2)
     assert r1 is r2
     assert r1 is not r3
+
+
+def test_device_ghost_aug_one_sync_corner_multiplicities():
+    """The one-sync count predictor (all six per-dim clone counts from the
+    original array via multiplicity products, ghosts._count_all_fn) must
+    reproduce the host's dim-sequential semantics EXACTLY — including
+    clones-of-clones at corners and a 2r > L particle cloning both faces
+    of one dimension."""
+    import jax.numpy as jnp
+
+    from nbodyhpc_tpu.ops.ghosts import (
+        augment_points_periodic,
+        augment_points_periodic_device,
+    )
+
+    pos = np.array([
+        [0.01, 0.01, 0.01],   # triple corner: 7 clones
+        [0.99, 0.5, 0.02],    # edge: 3 clones
+        [0.5, 0.5, 0.5],      # interior: none
+        [0.5, 0.02, 0.98],    # edge: 3 clones
+        [0.45, 0.5, 0.5],     # 2r > L: crosses BOTH x faces
+    ], np.float32)
+    r = np.array([0.05, 0.05, 0.01, 0.05, 0.6], np.float32)
+    w = np.arange(1, 6, dtype=np.float32)
+    hp, hw, hr = augment_points_periodic(pos, w, r, (1.0, 1.0, 1.0))
+    dp, dw, dr = augment_points_periodic_device(
+        jnp.asarray(pos), jnp.asarray(w), jnp.asarray(r), (1.0, 1.0, 1.0))
+    assert hp.shape == dp.shape
+    np.testing.assert_array_equal(hp, np.asarray(dp))
+    np.testing.assert_array_equal(hw, np.asarray(dw))
+    np.testing.assert_array_equal(hr, np.asarray(dr))
