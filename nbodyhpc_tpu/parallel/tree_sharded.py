@@ -30,6 +30,7 @@ k-th best, exactly the reference's "descend only if box_distance < kth".
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -87,19 +88,69 @@ def _shared_geometry(n, extent, occupancy, nd):
     return dims, h
 
 
+@functools.partial(jax.jit, static_argnames=("nd", "nloc", "n"))
+def _part_scatter(p_sorted, orig_s, counts, nd, nloc, n):
+    """Device build-partition stage 2: slice each slab's contiguous run of
+    the slab-sorted points into its [nloc] shard row (PAD_SENTINEL
+    positions / index ``n`` past the slab's count)."""
+    offs = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
+    ps = jnp.pad(p_sorted, ((0, nloc), (0, 0)))
+    os_ = jnp.pad(orig_s, (0, nloc))
+    rows_p, rows_i = [], []
+    j = jnp.arange(nloc, dtype=jnp.int32)
+    for d in range(nd):
+        p = jax.lax.dynamic_slice(ps, (offs[d], jnp.int32(0)), (nloc, 3))
+        i = jax.lax.dynamic_slice(os_, (offs[d],), (nloc,))
+        valid = j < counts[d]
+        rows_p.append(
+            jnp.where(valid[:, None], p, jnp.float32(PAD_SENTINEL))
+        )
+        rows_i.append(jnp.where(valid, i, n).astype(jnp.uint32))
+    return jnp.stack(rows_p), jnp.stack(rows_i)
+
+
 def build_tree_sharded(points, boxsize=None, mesh: Mesh | None = None,
                        occupancy: float = 8.0) -> ShardedTree:
     """Partition ``points`` into z-slabs over the mesh and build one local
     cell-list per device (one traced multi-operand sort per shard, run as a
     single ``shard_map`` program). Tree capacity scales with the mesh: each
     chip holds only its slab.
+
+    Device-resident ``points`` (a jax array) are partitioned ON DEVICE —
+    one slab sort + per-shard slicing, the host syncing only the nd slab
+    counts — so a 1e7+-point build never round-trips the host link (the
+    same discipline as ``build_cell_list``'s device path).
     """
     if mesh is None:
         mesh = make_slab_mesh()
     axis = mesh.axis_names[0]
     nd = int(mesh.devices.size)
 
-    points = validate_points(np.asarray(points), boxsize)
+    device_points = (
+        not isinstance(points, np.ndarray) and hasattr(points, "devices")
+    )
+    if device_points:
+        if points.ndim != 2 or points.shape[1] != 3:
+            raise ValueError(
+                f"points must have shape (N, 3), got {points.shape}"
+            )
+        points = points.astype(jnp.float32)
+        if boxsize is not None:
+            L = np.asarray(boxsize, dtype=np.float32)
+            if np.any(L <= 0):
+                raise ValueError("boxsize must be positive")
+            bad = bool(
+                jnp.any((points < 0) | (points > jnp.asarray(L)))
+            ) if points.shape[0] else False
+            if bad:
+                raise ValueError(
+                    "points must be contained in the box [0, boxsize] "
+                    "when boxsize is given"
+                )
+    else:
+        points = validate_points(np.asarray(points), boxsize)
     n = points.shape[0]
     periodic = boxsize is not None
     if periodic:
@@ -113,8 +164,14 @@ def build_tree_sharded(points, boxsize=None, mesh: Mesh | None = None,
         box = None
         boxsize_t = None
         if n > 0:
-            pmin = points.min(axis=0).astype(np.float64)
-            pmax = points.max(axis=0).astype(np.float64)
+            pmin = np.asarray(
+                jnp.min(points, axis=0) if device_points
+                else points.min(axis=0)
+            ).astype(np.float64)
+            pmax = np.asarray(
+                jnp.max(points, axis=0) if device_points
+                else points.max(axis=0)
+            ).astype(np.float64)
         else:
             pmin, pmax = np.zeros(3), np.ones(3)
         span = np.maximum(pmax - pmin, 1e-12)
@@ -125,26 +182,38 @@ def build_tree_sharded(points, boxsize=None, mesh: Mesh | None = None,
     cz_loc = dims[2] // nd
     slab_depth = cz_loc * h[2]
 
-    # host slab partition (stable, like the render's host path); queries and
-    # points use the same assignment rule so a self-query's home shard holds
-    # its own point
-    zslab = np.clip(
-        np.floor((points[:, 2] - lo[2]) / slab_depth).astype(np.int64),
-        0, nd - 1,
-    ) if n else np.zeros(0, np.int64)
-    order = np.argsort(zslab, kind="stable")
-    counts = np.bincount(zslab, minlength=nd)
-    npad_loc = round_up(max(int(counts.max()) if n else 1, 1), 128) + 2048
+    # slab partition (stable; queries and points use the same assignment
+    # rule so a self-query's home shard holds its own point)
+    if device_points and n:
+        p_sorted, _, orig_s, counts_d = _route_sort(
+            points, nd, float(lo[2]), float(slab_depth), None,
+            int(round_up(n, 128)),
+        )
+        counts = np.asarray(counts_d).astype(np.int64)  # the ONE sync
+        npad_loc = round_up(max(int(counts.max()), 1), 128) + 2048
+        pts_dev, idx_dev = _part_scatter(
+            p_sorted, orig_s, counts_d, nd, npad_loc, n
+        )
+    else:
+        points = np.asarray(points)
+        zslab = np.clip(
+            np.floor((points[:, 2] - lo[2]) / slab_depth).astype(np.int64),
+            0, nd - 1,
+        ) if n else np.zeros(0, np.int64)
+        order = np.argsort(zslab, kind="stable")
+        counts = np.bincount(zslab, minlength=nd)
+        npad_loc = round_up(max(int(counts.max()) if n else 1, 1), 128) + 2048
 
-    pts_sh = np.full((nd, npad_loc, 3), PAD_SENTINEL, np.float32)
-    idx_sh = np.full((nd, npad_loc), n, np.uint32)
-    off = 0
-    for d in range(nd):
-        c = int(counts[d])
-        sel = order[off : off + c]
-        pts_sh[d, :c] = points[sel]
-        idx_sh[d, :c] = sel.astype(np.uint32)
-        off += c
+        pts_sh = np.full((nd, npad_loc, 3), PAD_SENTINEL, np.float32)
+        idx_sh = np.full((nd, npad_loc), n, np.uint32)
+        off = 0
+        for d in range(nd):
+            c = int(counts[d])
+            sel = order[off : off + c]
+            pts_sh[d, :c] = points[sel]
+            idx_sh[d, :c] = sel.astype(np.uint32)
+            off += c
+        pts_dev, idx_dev = jnp.asarray(pts_sh), jnp.asarray(idx_sh)
 
     ncells_loc = dims[0] * dims[1] * cz_loc
     dims_loc = (dims[0], dims[1], cz_loc)
@@ -192,9 +261,7 @@ def build_tree_sharded(points, boxsize=None, mesh: Mesh | None = None,
         in_specs=(P(axis), P(axis)),
         out_specs=(P(axis), P(axis), P(axis), P()),
     ))
-    xyz_d, index_d, offsets_d, mcc = mapped(
-        jnp.asarray(pts_sh), jnp.asarray(idx_sh)
-    )
+    xyz_d, index_d, offsets_d, mcc = mapped(pts_dev, idx_dev)
     return ShardedTree(
         xyz=xyz_d, index=index_d, offsets=offsets_d, counts=counts,
         dims_loc=dims_loc, lo=tuple(float(v) for v in lo),
@@ -619,19 +686,103 @@ def _make_query_shard_fn(stree: ShardedTree, k, hops, cap, ladder):
     return f
 
 
+@functools.partial(
+    jax.jit, static_argnames=("nd", "lo_z", "depth", "box", "qpad")
+)
+def _route_sort(queries, nd, lo_z, depth, box, qpad):
+    """Device query->slab routing stage 1: wrap, slab-assign, ONE stable
+    multi-operand sort by slab id (positions + original index riding the
+    comparator — the engine's bread-and-butter pattern, never a scatter).
+    Returns sorted (q [Qp, 3], slab [Qp], orig [Qp]) plus per-slab counts
+    (the only values the host syncs). Pad rows route to slab nd (past every
+    real slab)."""
+    Q = queries.shape[0]
+    qw = queries.astype(jnp.float32)
+    if box is not None:
+        L = jnp.asarray(box, jnp.float32)
+        qw = qw - L[None, :] * jnp.floor(qw / L[None, :])
+    slab = jnp.clip(
+        jnp.floor((qw[:, 2] - lo_z) * (1.0 / depth)).astype(jnp.int32),
+        0, nd - 1,
+    )
+    if qpad > Q:
+        qw = jnp.pad(qw, ((0, qpad - Q), (0, 0)))
+        slab = jnp.pad(slab, (0, qpad - Q), constant_values=nd)
+    orig = jnp.arange(qpad, dtype=jnp.int32)
+    slab_s, qx, qy, qz, orig_s = jax.lax.sort(
+        (slab, qw[:, 0], qw[:, 1], qw[:, 2], orig),
+        num_keys=1, is_stable=True,
+    )
+    counts = jnp.diff(
+        jnp.searchsorted(
+            slab_s, jnp.arange(nd + 1, dtype=jnp.int32), method="sort"
+        )
+    )
+    return jnp.stack([qx, qy, qz], 1), slab_s, orig_s, counts
+
+
+@functools.partial(jax.jit, static_argnames=("nd", "qloc"))
+def _route_scatter(q_sorted, counts, nd, qloc):
+    """Device routing stage 2: slice each slab's contiguous run of the
+    sorted queries into its [qloc] row (dynamic_slice per shard — nd is
+    static and small; no elementwise scatter)."""
+    offs = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
+    # tail guard: a slice starting at offs[d] never clamps (a clamped
+    # start would shift real rows off their slab positions)
+    qs = jnp.pad(q_sorted, ((0, qloc), (0, 0)))
+    rows_q, rows_m = [], []
+    j = jnp.arange(qloc, dtype=jnp.int32)
+    for d in range(nd):
+        row = jax.lax.dynamic_slice(
+            qs, (offs[d], jnp.int32(0)), (qloc, 3)
+        )
+        rows_q.append(row)
+        rows_m.append(j < counts[d])
+    return jnp.stack(rows_q), jnp.stack(rows_m)
+
+
+@functools.partial(jax.jit, static_argnames=("nd", "qloc"))
+def _route_unsort(d2, gi, counts, slab_s, orig_s, nd, qloc):
+    """Device un-routing: map shard-row results back to sorted positions
+    (elementwise offset math), then back to caller order by ONE stable
+    sort on the carried original index (sort + row-gather, no scatter)."""
+    offs = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
+    Qp = slab_s.shape[0]
+    j = jnp.arange(Qp, dtype=jnp.int32)
+    off_of = jnp.zeros(Qp, jnp.int32)
+    for d in range(nd):  # tiny static fan of selects, not a gather
+        off_of = jnp.where(slab_s == d, offs[d], off_of)
+    flat = jnp.clip(
+        jnp.minimum(slab_s, nd - 1) * qloc + (j - off_of), 0, nd * qloc - 1
+    )
+    d_rows = d2.reshape(nd * qloc, -1)[flat]
+    g_rows = gi.reshape(nd * qloc, -1)[flat]
+    _, perm = jax.lax.sort((orig_s, j), num_keys=1, is_stable=True)
+    return jnp.sqrt(d_rows[perm]), g_rows[perm]
+
+
 def knn_query_tree_sharded(stree: ShardedTree, queries, k: int,
                            hops: int | None = None, cap: int | None = None):
     """Exact batched k-NN against a :class:`ShardedTree`.
 
-    Queries are routed to their home slab, answered locally, and exchanged
-    with neighboring slabs via ``lax.ppermute`` rounds whenever the k-th
-    best distance reaches past a slab face (the cross-shard analog of the
-    reference's box-distance prune, kdtree_impl.hpp:239-267).
+    Queries are routed to their home slab ON DEVICE (one stable sort by
+    slab id — the engine's standard sort-not-scatter pattern; the host
+    syncs only the nd per-slab counts to size the static shard rows),
+    answered locally, and exchanged with neighboring slabs via
+    ``lax.ppermute`` rounds whenever the k-th best distance reaches past
+    a slab face (the cross-shard analog of the reference's box-distance
+    prune, kdtree_impl.hpp:239-267).
 
     Returns ``(distances [Q, k] float32 ascending, indices [Q, k] uint32,
     overflow)``. ``overflow == 0`` certifies an exact result; a positive
     count means some query needed more ``hops`` (or a larger band ``cap``)
     than configured — the same certificate contract as the sharded render.
+    Array results are device-resident when ``queries`` is a jax array,
+    numpy otherwise.
 
     ``hops`` defaults to enough rounds to visit every slab (exactness needs
     no certification then); pass a smaller value to trade round count for
@@ -645,29 +796,28 @@ def knn_query_tree_sharded(stree: ShardedTree, queries, k: int,
         hops = (nd // 2) if stree.periodic else (nd - 1)
     hops = max(0, min(int(hops), nd - 1 if not stree.periodic else nd // 2))
 
-    queries = np.asarray(queries, np.float32)
+    device_in = isinstance(queries, jnp.ndarray)
+    if not device_in:
+        queries = np.asarray(queries, np.float32)
     Q = queries.shape[0]
     if Q == 0:
         return (np.zeros((0, k), np.float32), np.zeros((0, k), np.uint32), 0)
-    qw = queries
-    if stree.periodic:
-        L = np.asarray(stree.boxsize, np.float32)
-        qw = qw - L * np.floor(qw / L)
-    slab = np.clip(
-        np.floor((qw[:, 2] - stree.lo[2]) / stree.slab_depth).astype(np.int64),
-        0, nd - 1,
+
+    # routing stage 1 on device; quantized pad bounds the compile shapes
+    qpad = int(round_up(Q, 128))
+    q_sorted, slab_s, orig_s, counts_d = _route_sort(
+        jnp.asarray(queries), nd, float(stree.lo[2]),
+        float(stree.slab_depth),
+        stree.boxsize if stree.periodic else None, qpad,
     )
-    order = np.argsort(slab, kind="stable")
-    counts = np.bincount(slab, minlength=nd)
+    counts = np.asarray(counts_d)  # the ONE host sync of the routing
     qloc = round_up(max(int(counts.max()), 1), 8)
-    q_sh = np.zeros((nd, qloc, 3), np.float32)
-    m_sh = np.zeros((nd, qloc), bool)
-    off = 0
-    for d in range(nd):
-        c = int(counts[d])
-        q_sh[d, :c] = qw[order[off : off + c]]
-        m_sh[d, :c] = True
-        off += c
+    # quantize the per-shard row height so program shapes recur
+    ql = 8
+    while ql < qloc:
+        ql *= 2
+    qloc = min(ql, round_up(qpad, 8))
+    q_sh, m_sh = _route_scatter(q_sorted, counts_d, nd, qloc)
 
     if cap is None:
         cap = qloc
@@ -683,19 +833,13 @@ def knn_query_tree_sharded(stree: ShardedTree, queries, k: int,
     d2, gi, overflow = mapped(
         stree.xyz, stree.index, stree.offsets,
         jnp.asarray(stree.counts.astype(np.int32)),
-        jnp.asarray(q_sh), jnp.asarray(m_sh),
+        q_sh, m_sh,
     )
-    d2 = np.asarray(d2).reshape(nd * qloc, k)
-    gi = np.asarray(gi).reshape(nd * qloc, k)
-    # un-route: row of query order[j] sits at (slab, position-within-slab)
-    flat_pos = np.empty(Q, np.int64)
-    off = 0
-    for d in range(nd):
-        c = int(counts[d])
-        flat_pos[off : off + c] = d * qloc + np.arange(c)
-        off += c
-    out_d = np.empty((Q, k), np.float32)
-    out_i = np.empty((Q, k), np.uint32)
-    out_d[order] = np.sqrt(d2[flat_pos])
-    out_i[order] = gi[flat_pos]
-    return out_d, out_i, int(overflow)
+    d_out, i_out = _route_unsort(
+        d2, gi, counts_d, slab_s, orig_s, nd, qloc
+    )
+    d_out, i_out = d_out[:Q], i_out[:Q]
+    if not device_in:
+        d_out = np.asarray(d_out)
+        i_out = np.asarray(i_out)
+    return d_out, i_out, int(overflow)

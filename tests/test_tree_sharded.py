@@ -164,3 +164,48 @@ def test_sharded_tree_k_exceeds_n(mesh):
     np.testing.assert_allclose(d[finite], dref[finite], rtol=1e-5, atol=1e-7)
     assert np.all(np.isinf(d[~finite]))
     assert np.all(i[:, 100:] == 100)
+
+
+def test_sharded_tree_scale_1e6_8shards(mesh):
+    """Production-scale validation on the CPU mesh (VERDICT r4 #5): 1e6
+    points partitioned across all 8 slabs, periodic box, 4096 queries —
+    overflow must certify 0 and indices must match scipy exactly (the
+    single-tree oracle at this scale). Also pins the device routing path
+    (sort -> slab rows -> unsort) at a row height where every shard is
+    hit."""
+    import scipy.spatial as sps
+
+    n, nq, k = 1_000_000, 4096, 8
+    pts = _pts(n, 61)
+    q = _pts(nq, 62)
+    st = build_tree_sharded(pts, boxsize=1.0, mesh=mesh)
+    assert st.counts.sum() == n and (st.counts > 0).all()
+    d, i, overflow = knn_query_tree_sharded(st, q, k)
+    assert overflow == 0
+    ref = sps.cKDTree(pts, boxsize=1.0)
+    rd, ri = ref.query(q, k=k)
+    np.testing.assert_allclose(d, rd.astype(np.float32), rtol=2e-6, atol=2e-7)
+    match = (i == ri).mean()
+    # identical indices except possible f32-degenerate ties
+    assert match > 0.9999, f"index match {match}"
+
+
+def test_device_resident_build_and_query(mesh):
+    """Device-resident points build the sharded tree without a host round
+    trip (device slab sort + per-shard slicing; the host syncs only the
+    nd counts) and must answer identically to the host-partitioned build.
+    Device queries come back as device arrays."""
+    import jax.numpy as jnp
+
+    pts = _pts(20000, 71)
+    q = _pts(1500, 72)
+    st_h = build_tree_sharded(pts, boxsize=1.0, mesh=mesh)
+    st_d = build_tree_sharded(jnp.asarray(pts), boxsize=1.0, mesh=mesh)
+    assert st_d.counts.sum() == 20000
+    np.testing.assert_array_equal(st_h.counts, st_d.counts)
+    dh, ih, ovh = knn_query_tree_sharded(st_h, q, 6)
+    dd, id_, ovd = knn_query_tree_sharded(st_d, jnp.asarray(q), 6)
+    assert ovh == 0 and ovd == 0
+    assert not isinstance(dd, np.ndarray)  # device in -> device out
+    np.testing.assert_array_equal(ih, np.asarray(id_))
+    np.testing.assert_allclose(dh, np.asarray(dd), rtol=1e-6, atol=1e-7)
