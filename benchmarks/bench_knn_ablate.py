@@ -48,7 +48,8 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from nbodyhpc_tpu.ops.knn_pallas import FULLZ, ZSEG, _run_knn_topk
+    from nbodyhpc_tpu.ops.knn_pallas import FULLZ, ZSEG, _run_knn_topk, \
+        fullz_geom
 
     npad = 1 << 20  # ~1e6-point tree working set (fits HBM comfortably)
     nblocks = 512
@@ -79,13 +80,13 @@ def main():
     qblk[:, :, 3] = rng.integers(0, 3, size=(nblocks, 128))
     qblk = jnp.asarray(qblk)
 
-    def timed(runs, kpad, geom):
+    def timed(runs, kpad, geom, kseg=0):
         def once():
             t0 = time.time()
             dk, _ = _run_knn_topk(
                 runs, qblk, xyz, nblocks=nblocks, kpad=kpad,
                 periodic=False, box=(0.0, 0.0, 0.0), interpret=False,
-                geom=geom,
+                geom=geom, kseg=kseg,
             )
             float(jnp.sum(dk[:, :, 0]))  # host sync (axon: never b.u.r.)
             return time.time() - t0
@@ -93,18 +94,26 @@ def main():
         once()  # compile / cache-deserialize
         return min(once() for _ in range(3))
 
+    # fz1024 = the round-5 production rung for the 1e7 uniform tree
+    # (tree_plan: NR=9, RCAP=1024, NCAND 9216; ~3 slots x ~857 lanes per
+    # neighbor-x slice); _seg variants ablate the two-level top-k depth
+    fz1024 = fullz_geom(1024)
     variants = {
-        "base": (make_runs(ZSEG, 18, 210), 16, ZSEG),
-        "dma0": (make_runs(ZSEG, 18, 0), 16, ZSEG),
-        "dma_half": (make_runs(ZSEG, 9, 210), 16, ZSEG),
-        "kpad1": (make_runs(ZSEG, 18, 210), 1, ZSEG),
-        "fullz": (make_runs(FULLZ, 5, 1800, npieces=3), 16, FULLZ),
+        "base": (make_runs(ZSEG, 18, 210), 16, ZSEG, 0),
+        "dma0": (make_runs(ZSEG, 18, 0), 16, ZSEG, 0),
+        "dma_half": (make_runs(ZSEG, 9, 210), 16, ZSEG, 0),
+        "kpad1": (make_runs(ZSEG, 18, 210), 1, ZSEG, 0),
+        "fullz": (make_runs(FULLZ, 5, 1800, npieces=3), 16, FULLZ, 0),
+        "fz1024": (make_runs(fz1024, 9, 857, npieces=3), 16, fz1024, 0),
+        "fz1024_seg6": (make_runs(fz1024, 9, 857, npieces=3), 16, fz1024, 6),
+        "fz1024_seg4": (make_runs(fz1024, 9, 857, npieces=3), 16, fz1024, 4),
+        "base_seg6": (make_runs(ZSEG, 18, 210), 16, ZSEG, 6),
     }
     out = {}
-    for name, (runs, kpad, geom) in variants.items():
-        s = timed(runs, kpad, geom)
+    for name, (runs, kpad, geom, kseg) in variants.items():
+        s = timed(runs, kpad, geom, kseg)
         out[name] = round(s / nblocks * 1e6, 1)  # us/block
-        print(f"{name:9s} {out[name]:8.1f} us/block", flush=True)
+        print(f"{name:12s} {out[name]:8.1f} us/block", flush=True)
 
     dma = out["base"] - out["dma0"]
     topk_pass = (out["base"] - out["kpad1"]) / 15.0

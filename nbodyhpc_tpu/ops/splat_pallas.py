@@ -1543,6 +1543,22 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
                 nper -= 1
         nruns = -(-ntx // nper)
         nper = -(-ntx // nruns)  # balance window sizes (forced plans)
+        # Window-boundary overlap policy: the old pipeline enqueued the
+        # next window's _zero_bufs while the previous window's combine
+        # still held its tile set — TWO grid-scale sets live at once
+        # (zero_bufs outputs allocate at enqueue). That only ever fit
+        # because windows used to be narrow; the round-4 row-cap widened
+        # them (G32 at 1e8 -> 1024^3: two 5.5 GiB sets + volume +
+        # partition = measured OOM). When two sets don't fit the budget,
+        # the boundary takes a hard drain (one scalar fetch of the
+        # combined volume — an RTT per window) before zeroing the next.
+        budget_b = float(
+            os.environ.get("NBODYHPC_TPU_HBM_GB", "13.0")
+        ) * 2**30
+        two_sets_fit = (
+            4 * gxp * gy * gz + resident + 2 * nper * slab_bytes + 2**30
+            <= budget_b
+        )
 
         def stage_host(job, s, e, xwin):
             """Enqueue one batch's H2D upload + pair count (both async)."""
@@ -1580,6 +1596,12 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
             nxt = min(nper, ntx - xt0)
             xwin = None if nruns == 1 else (xt0, nxt)
             ntiles = m * nxt
+            if xt0 and not two_sets_fit:
+                # hard tile-set non-overlap across the boundary: wait for
+                # the previous window's combine to finish (and free its
+                # donated tiles) before enqueueing this window's zero
+                float(vol[(0,) * vol.ndim])
+                pend_rows = 0
             bufs = _zero_bufs(ntiles, fgeom)
             tw = _trs(f"group F={fgeom.F} win@{xt0} zero_bufs", tw,
                       bufs[0] if _TRACE else None)
