@@ -1763,6 +1763,13 @@ def splat_volume(positions, weights, radii, pixels_per_unit: float, grid,
                     *bufs, grid3, vol, fgeom, xwin[1], carry,
                     carry_out=True, xt0=jnp.int32(xwin[0]),
                 )
+            # release hx/hc promptly: they are NOT donated into the
+            # combine (the carry strips alias them) and holding the
+            # reference keeps a ~1 GiB residue alive across the window
+            # boundary — on top of the next window's fresh tile set that
+            # was the difference between fitting and the measured G32
+            # OOM at 1e8 -> 1024^3
+            bufs = None
             tw = _trs(f"group F={fgeom.F} win@{xt0} unpack", tw,
                       vol if _TRACE else None)
         return vol
