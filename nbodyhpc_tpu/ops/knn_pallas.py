@@ -359,16 +359,19 @@ def _kpad(k: int) -> int:
 def _kseg(kpad: int, ncand: int) -> int:
     """Segment-shortlist depth for the two-level fused top-k (0 = plain
     kpad-pass extraction). Env ``NBODYHPC_KNN_SEGTOPK`` overrides (0
-    disables, N forces depth N — the on-chip ablation knob). Default: 6
+    disables, N forces depth N — the on-chip ablation knob). Default: 4
     full-width passes instead of kpad when the workload is wide enough
     for the narrow phase-2 to be a win and lane 127 is free for the
-    overflow flag."""
+    overflow flag (measured 2026-08-21, 1e7/5e5/k=16: kseg=4 877k q/s,
+    kseg=6 838k, plain ~820k — benchmarks/RESULTS.md; the
+    overflow->ladder rate at depth 4 is negligible on real data: a row
+    needs >= 4 of its top-k in one lane-residue class)."""
     env = os.environ.get("NBODYHPC_KNN_SEGTOPK")
     if env is not None:
         v = int(env)
         return 0 if v <= 0 else min(v, kpad)
     if 8 <= kpad <= 64 and ncand >= 4096:
-        return 6
+        return 4
     return 0
 
 

@@ -462,10 +462,34 @@ def _default_local_ladder(k, max_cell_count, dims_loc, budget_cap=2048):
 
 def _make_local_answer(meta, ladder, k, n_global):
     """Traced exact-k-NN against one local tree. Returns (d2 [Q, k],
-    global index [Q, k] uint32); missing neighbors get (inf, n_global)."""
+    global index [Q, k] uint32); missing neighbors get (inf, n_global).
+
+    Production scale: the cube passes hold a [Q, M, budget] candidate
+    transient, so large query batches stream through ``lax.map`` chunks
+    sized to bound that transient (~128 MiB) — the same discipline as
+    ops/knn's chunked ladder (a 5e5-query shard would otherwise ask for
+    a 14 GiB transient; measured compile-time OOM)."""
     dims, lo, h, wrapL, bin_per = meta
 
     def run(xyz, index, offsets, n_loc, q):
+        Q = q.shape[0]
+        bmax = max(((2 * r + 1) ** 3) * c for r, c in ladder)
+        lim = max(256, (1 << 25) // max(bmax, 1))
+        ch = 256
+        while ch * 2 <= lim:
+            ch *= 2
+        if Q > ch:
+            Qp = -(-Q // ch) * ch
+            qp = q if Qp == Q else jnp.pad(q, ((0, Qp - Q), (0, 0)))
+
+            def one(qc):
+                return _run_chunk(xyz, index, offsets, n_loc, qc)
+
+            d2, gi = jax.lax.map(one, qp.reshape(Qp // ch, ch, 3))
+            return d2.reshape(Qp, k)[:Q], gi.reshape(Qp, k)[:Q]
+        return _run_chunk(xyz, index, offsets, n_loc, q)
+
+    def _run_chunk(xyz, index, offsets, n_loc, q):
         Q = q.shape[0]
         cell = []
         for dim in range(3):

@@ -207,7 +207,7 @@ def test_knn_topk_kernel_segmented_matches_and_flags():
     # NCAND = 4608 >= 4096 keeps the default kseg policy active
     geom = KGeom(G=4, NR=9, RCAP=512)
     kpad = _kpad(8)
-    assert _kseg(kpad, geom.NCAND) == 6  # default policy activates here
+    assert _kseg(kpad, geom.NCAND) == 4  # default policy activates here
     rng = np.random.Generator(np.random.Philox(99))
     npad = geom.RFETCH + 1024
     xyz = np.full((4, npad), 10.0, np.float32)
