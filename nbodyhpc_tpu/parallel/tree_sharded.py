@@ -190,7 +190,12 @@ def build_tree_sharded(points, boxsize=None, mesh: Mesh | None = None,
             int(round_up(n, 128)),
         )
         counts = np.asarray(counts_d).astype(np.int64)  # the ONE sync
-        npad_loc = round_up(max(int(counts.max()), 1), 128) + 2048
+        # 2048-aligned so the brute backstop keeps its full 2048-row DMA
+        # blocks (an unaligned npad degrades its block to npad's largest
+        # pow2 divisor — measured 256 at 1e7, an 8x longer sweep)
+        npad_loc = round_up(
+            round_up(max(int(counts.max()), 1), 128) + 2048, 2048
+        )
         pts_dev, idx_dev = _part_scatter(
             p_sorted, orig_s, counts_d, nd, npad_loc, n
         )
@@ -202,7 +207,10 @@ def build_tree_sharded(points, boxsize=None, mesh: Mesh | None = None,
         ) if n else np.zeros(0, np.int64)
         order = np.argsort(zslab, kind="stable")
         counts = np.bincount(zslab, minlength=nd)
-        npad_loc = round_up(max(int(counts.max()) if n else 1, 1), 128) + 2048
+        npad_loc = round_up(
+            round_up(max(int(counts.max()) if n else 1, 1), 128) + 2048,
+            2048,
+        )
 
         pts_sh = np.full((nd, npad_loc, 3), PAD_SENTINEL, np.float32)
         idx_sh = np.full((nd, npad_loc), n, np.uint32)
@@ -449,7 +457,11 @@ def _default_local_ladder(k, max_cell_count, dims_loc, budget_cap=2048):
     rungs = [(1, min(mcc, 256, cap0))]
     if mcc > 256:
         rungs.append((1, min(mcc, 2048, cap0)))
-    for r, cap in ((2, 128), (4, 64)):
+    # the r=8 rung exists so the brute-force backstop effectively never
+    # fires at production scale: a straggler that escapes r=4 (a dense
+    # clump against an empty region) is caught by the 17^3-cell scan,
+    # while the backstop costs a full slab sweep (see _make_local_answer)
+    for r, cap in ((2, 128), (4, 64), (8, 32)):
         rungs.append((r, min(mcc, cap, cap0)))
         if 2 * r + 1 >= max_dim:
             break
@@ -525,13 +537,36 @@ def _make_local_answer(meta, ladder, k, n_global):
             )
 
         def fallback(s):
-            d2f, slotf = _local_brute_pass(xyz, n_loc, q, k, wrapL)
-            upd = ~s[2]
-            return (
-                jnp.where(upd[:, None], d2f, s[0]),
-                jnp.where(upd[:, None], slotf, s[1]),
-                jnp.ones_like(s[2]),
+            """Exact backstop for ladder stragglers. The brute sweep costs
+            O(npad) PER ROW SCANNED, so stragglers (a handful per million
+            queries once the r=8 rung exists) are first band-compacted to
+            ``bcap`` rows; only a band overflow (> bcap stragglers —
+            realistically only tiny trees, where the sweep is cheap) pays
+            the full-chunk sweep. The unbanded form swept every chunk row
+            through a 1e7-point slab whenever ONE row escaped the ladder
+            — minutes of device time that crashed the remote worker."""
+            mask = ~s[2]
+            bcap = min(128, q.shape[0])
+            (bq,), valid, sel, ov = _band_compact([q], mask, bcap)
+            d2b, slotb = _local_brute_pass(xyz, n_loc, bq, k, wrapL)
+            d2 = s[0].at[sel].set(
+                jnp.where(valid[:, None], d2b, s[0][sel])
             )
+            sl = s[1].at[sel].set(
+                jnp.where(valid[:, None], slotb, s[1][sel])
+            )
+            cv = s[2].at[sel].set(s[2][sel] | valid)
+
+            def full(s2):
+                d2f, slotf = _local_brute_pass(xyz, n_loc, q, k, wrapL)
+                upd = ~s2[2]
+                return (
+                    jnp.where(upd[:, None], d2f, s2[0]),
+                    jnp.where(upd[:, None], slotf, s2[1]),
+                    jnp.ones_like(s2[2]),
+                )
+
+            return jax.lax.cond(ov > 0, full, lambda x: x, (d2, sl, cv))
 
         state = jax.lax.cond(jnp.any(~state[2]), fallback, lambda s: s, state)
         d2, slot, _ = state
