@@ -457,11 +457,11 @@ def _default_local_ladder(k, max_cell_count, dims_loc, budget_cap=2048):
     rungs = [(1, min(mcc, 256, cap0))]
     if mcc > 256:
         rungs.append((1, min(mcc, 2048, cap0)))
-    # the r=8 rung exists so the brute-force backstop effectively never
-    # fires at production scale: a straggler that escapes r=4 (a dense
-    # clump against an empty region) is caught by the 17^3-cell scan,
-    # while the backstop costs a full slab sweep (see _make_local_answer)
-    for r, cap in ((2, 128), (4, 64), (8, 32)):
+    # no rung past r=4: its 17^3-cell pass needs a ~128k-lane top_k,
+    # which crashes the real TPU worker (measured 2026-08-21; r=4's 19k
+    # lanes are fine). Stragglers go to the BANDED brute backstop in
+    # _make_local_answer instead (<= 128 rows pay the slab sweep).
+    for r, cap in ((2, 128), (4, 64)):
         rungs.append((r, min(mcc, cap, cap0)))
         if 2 * r + 1 >= max_dim:
             break
@@ -606,7 +606,16 @@ def _make_query_shard_fn(stree: ShardedTree, k, hops, cap, ladder):
     if periodic:
         box = stree.boxsize
         wrapL = (float(box[0]), float(box[1]), float(box[2]))
-        bin_per = (True, True, False)
+        # a single-slab mesh owns the WHOLE z extent: bin z periodically
+        # like x/y. With z clipped instead, a z-boundary query's
+        # wrap-adjacent cells are unreachable at every rung, so ~2h/L of
+        # all queries (1.25% measured at 1e7) fell through to the
+        # full-slab brute backstop — minutes of device time that crashed
+        # the remote TPU worker. Multi-slab meshes keep z clipped (cross-
+        # slab neighbors are the hop ladder's job, and a slab's wrap
+        # distance through the global box is never shorter than its
+        # clipped local distance when D <= L/2).
+        bin_per = (True, True, nd == 1)
     else:
         wrapL = (_NO_WRAP, _NO_WRAP, _NO_WRAP)
         bin_per = (False, False, False)

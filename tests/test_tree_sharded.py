@@ -209,3 +209,28 @@ def test_device_resident_build_and_query(mesh):
     assert not isinstance(dd, np.ndarray)  # device in -> device out
     np.testing.assert_array_equal(ih, np.asarray(id_))
     np.testing.assert_allclose(dh, np.asarray(dd), rtol=1e-6, atol=1e-7)
+
+
+def test_single_slab_periodic_z_wrap(mesh):
+    """A 1-device mesh owns the whole z extent: z must bin periodically
+    (wrap-adjacent cells reachable by the ladder) or every z-boundary
+    query falls through to the brute backstop — at production scale that
+    was minutes of device time per chunk (measured TPU worker crash).
+    Exactness pinned with queries ON the z faces against scipy."""
+    import jax as _jax
+    import scipy.spatial as sps
+    from jax.sharding import Mesh
+
+    m1 = Mesh(np.asarray(_jax.devices()[:1]), ("slab",))
+    pts = _pts(30000, 83)
+    st = build_tree_sharded(pts, boxsize=1.0, mesh=m1)
+    rng = np.random.Generator(np.random.Philox(84))
+    q = rng.random((512, 3)).astype(np.float32)
+    q[:200, 2] = rng.uniform(0.0, 0.004, 200)    # hugging z=0
+    q[200:400, 2] = rng.uniform(0.996, 1.0, 200)  # hugging z=L
+    d, i, overflow = knn_query_tree_sharded(st, q, 8)
+    assert overflow == 0
+    ref = sps.cKDTree(pts, boxsize=1.0)
+    rd, ri = ref.query(q, k=8)
+    np.testing.assert_allclose(d, rd.astype(np.float32), rtol=2e-6, atol=2e-7)
+    assert (i == ri).mean() > 0.999
