@@ -530,7 +530,40 @@ def _make_local_answer(meta, ladder, k, n_global):
         for r, budget in ladder[1:]:
 
             def this_pass(s, _r=r, _b=budget):
-                return _local_cube_pass(tree, meta, q, qcell, k, _r, _b, s)
+                """Escalation rung on the COMPACTED stragglers: a chunk
+                with one unconverged row was paying the (2r+1)^3-cell
+                scan for every row (the dominant cost of this path at
+                scale — gathers charge per candidate lane); band-compact
+                first, full-chunk rescan only on band overflow."""
+                mask = ~s[2]
+                bcap = min(128, q.shape[0])
+                (bq, bqc), valid, sel, ov = _band_compact(
+                    [q, qcell], mask, bcap
+                )
+                zero = (
+                    jnp.full((bcap, k), jnp.inf, jnp.float32),
+                    jnp.zeros((bcap, k), jnp.int32),
+                    jnp.zeros((bcap,), bool),
+                )
+                d2n, slotn, convn = _local_cube_pass(
+                    tree, meta, bq, bqc, k, _r, _b, zero
+                )
+                d2m = s[0].at[sel].set(
+                    jnp.where(valid[:, None], d2n, s[0][sel])
+                )
+                slm = s[1].at[sel].set(
+                    jnp.where(valid[:, None], slotn, s[1][sel])
+                )
+                cvm = s[2].at[sel].set(s[2][sel] | (valid & convn))
+
+                def full(s2):
+                    return _local_cube_pass(
+                        tree, meta, q, qcell, k, _r, _b, s2
+                    )
+
+                return jax.lax.cond(
+                    ov > 0, full, lambda x: x, (d2m, slm, cvm)
+                )
 
             state = jax.lax.cond(
                 jnp.any(~state[2]), this_pass, lambda s: s, state
