@@ -714,7 +714,9 @@ def query_blocks_device(tree, tree_dev, queries, k: int,
                 # fused kernel: distances + exact top-k in VMEM, skipping
                 # the [msize, QB, NCAND] HBM block (2.4 GB at msize=512)
                 # and the sort-based top_k pass entirely
-                ksg = _kseg(_kpad(int(k)), geom.NCAND)
+                # interpret: plain extraction (the segmented unroll blows
+                # up interpreter lowering; see knn_pallas.query_blocks)
+                ksg = 0 if interpret else _kseg(_kpad(int(k)), geom.NCAND)
                 dk3, sk3 = _run_knn_topk(
                     jax.lax.slice_in_dim(runs, b0, b0 + msize),
                     jax.lax.slice_in_dim(qblk, b0, b0 + msize),

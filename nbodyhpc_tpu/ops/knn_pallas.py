@@ -76,6 +76,8 @@ class KGeom(NamedTuple):
         return self.NR * self.RCAP
 
 
+# read at CALL time by query_blocks (tests monkeypatch a small geometry
+# for interpret-mode runs; RCAP/NRUNS/NCAND must be patched consistently)
 ZSEG = KGeom(G=G, NR=NRUNS, RCAP=RCAP)
 # FULLZ family: NR = 9 physical slots (3 per neighbor-x slice) so the slot
 # width RCAP can be sized to the TREE (tree_plan picks the smallest rung
@@ -866,13 +868,18 @@ def query_blocks(tree, tree_dev, queries, k: int, batch_blocks: int = 1024,
         for b0 in range(0, st["nb_pad"], st["msize"]):
             b1 = b0 + st["msize"]
             if k <= 128:
-                ksg = _kseg(_kpad(k), NCAND)
+                # interpret mode keeps the plain extraction: the
+                # segmented unroll (kseg passes x W slice updates) blows
+                # up the interpreter's lowering (measured SIGABRT in the
+                # slow tier); its exactness has a dedicated direct-kernel
+                # test at an interpret-sized geometry
+                ksg = 0 if interpret else _kseg(_kpad(k), NCAND)
                 dk3, sk3 = _run_knn_topk(
                     jnp.asarray(st["runs"][b0:b1]),
                     jnp.asarray(st["qblk"][b0:b1]),
                     xyz, nblocks=st["msize"], kpad=_kpad(k),
                     periodic=periodic, box=box, interpret=interpret,
-                    kseg=ksg,
+                    geom=ZSEG, kseg=ksg,
                 )
                 dk = dk3[:, :, :k].reshape(-1, k)
                 sk = sk3[:, :, :k].reshape(-1, k)
@@ -882,7 +889,7 @@ def query_blocks(tree, tree_dev, queries, k: int, batch_blocks: int = 1024,
                     jnp.asarray(st["runs"][b0:b1]),
                     jnp.asarray(st["qblk"][b0:b1]),
                     xyz, nblocks=st["msize"], periodic=periodic, box=box,
-                    interpret=interpret,
+                    interpret=interpret, geom=ZSEG,
                 )
                 dk, sk = _topk_blocks(d2, k)
                 ov = None

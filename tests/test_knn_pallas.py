@@ -16,9 +16,32 @@ def _pts(n, seed, box=1.0):
     return (rng.random((n, 3)) * box).astype(np.float32)
 
 
+@pytest.fixture
+def small_zseg(monkeypatch):
+    """Interpret-sized ZSEG geometry for the slow e2e parity tests.
+
+    The production ZSEG (G=12 pieces x NR=36 slots x RCAP=256) unrolls
+    432 gated DMA/select units per kernel — the Pallas INTERPRETER's
+    lowering of that graph takes tens of minutes to hours on one CPU
+    core (the round-4 slow tier never completed; measured hang/SIGSEGV
+    round 5). G=3 x RCAP=128 exercises every mechanism (table build,
+    run splitting, piece packing, kernel, epilogues) at a lowering the
+    interpreter can compile in ~a minute. query_blocks reads the ZSEG
+    globals at call time for exactly this purpose."""
+    from nbodyhpc_tpu.ops import knn_pallas as kp
+
+    g = kp.KGeom(G=3, NR=36, RCAP=128)
+    monkeypatch.setattr(kp, "G", 3)
+    monkeypatch.setattr(kp, "RCAP", 128)
+    monkeypatch.setattr(kp, "NCAND", 36 * 128)
+    monkeypatch.setattr(kp, "RFETCH", 256)
+    monkeypatch.setattr(kp, "ZSEG", g)
+    return g
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("periodic", [False, True])
-def test_kernel_path_matches_exact(periodic):
+def test_kernel_path_matches_exact(periodic, small_zseg):
     pts = _pts(1200, 21)
     q = _pts(160, 22)
     tree = KDTree(pts, boxsize=1.0 if periodic else None)
@@ -29,7 +52,7 @@ def test_kernel_path_matches_exact(periodic):
 
 
 @pytest.mark.slow
-def test_query_blocks_chunked_matches_unchunked():
+def test_query_blocks_chunked_matches_unchunked(small_zseg):
     """qchunk smaller than Q: per-chunk prep/drain must return the same
     answers (and the same convergence verdicts' *answers* after the ladder)
     as one big chunk — pins the overlapped-prep refactor."""
@@ -54,7 +77,7 @@ def test_query_blocks_chunked_matches_unchunked():
 
 
 @pytest.mark.slow
-def test_kernel_path_clustered_escalates():
+def test_kernel_path_clustered_escalates(small_zseg):
     rng = np.random.Generator(np.random.Philox(5))
     cluster = (rng.normal(scale=0.002, size=(1200, 3)) + 0.5).astype(np.float32)
     pts = np.clip(np.concatenate([cluster, _pts(100, 6)]), 0, 0.999).astype(
@@ -112,7 +135,7 @@ def test_build_blocks_stats_cover_own_neighborhood():
 
 
 @pytest.mark.slow
-def test_with_stats_rides_kernel_path():
+def test_with_stats_rides_kernel_path(small_zseg):
     """with_stats no longer disables the kernel path: forced kernel
     queries return the same answers as the ladder, converged queries
     carry table-derived counters, and unconverged ones carry the
